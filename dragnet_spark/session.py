@@ -1,0 +1,42 @@
+"""SparkSession builder with the engine's standard configuration.
+
+Scale posture: every knob here is the one you'd set on a real
+multi-executor cluster — AQE on (runtime re-planning + skew-join
+splitting), Arrow batching for the pandas-UDF boundary, explicit
+shuffle-partition sizing.  ``local[N]`` is only the sandbox stand-in
+for executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dragnet-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch_rows: int = 64) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Documents are wide rows (MBs of base64); keep Arrow batches
+        # small so a batch of giant documents fits executor memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(arrow_batch_rows))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
