@@ -440,12 +440,17 @@ def zero_dm(z: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def process_document(data: np.ndarray, plan) -> tuple[np.ndarray, dict]:
+def process_document(data: np.ndarray, plan,
+                     offset0: int = 0) -> tuple[np.ndarray, dict]:
     """Run the full cleaning+dedispersion block loop on one document's
     dynamic spectrum — transcribes the main loop ``dragnet.cu:237-330``
     (raw-sample units; see module docstring for the ndec>1 deviation).
 
     ``data``: uint8 (nsamp_raw, nchan), SIGPROC channel order (0 = top).
+    ``offset0``: absolute raw-sample offset of ``data[0]`` within its
+    parent document — nonzero only on the chunked (giant-document)
+    path, where the rfifind-mask interval lookup must still see
+    absolute document time (``mask.c:690``).
     Returns (out float32 (ndm, nsamp_computed), metrics dict).
     """
     header, cfg = plan.header, plan.cfg
@@ -490,9 +495,9 @@ def process_document(data: np.ndarray, plan) -> tuple[np.ndarray, dict]:
         # J4/W1: rfifind mask + optional clipping (dragnet.cu:264-273)
         if use_mask:
             n_clipped += apply_mask(
-                fbuf, tsamp=plan.tsamp_dec, nsamples=to_read, offset=isamp,
-                clip_sigma=cfg.clip_sigma, padvals=padvals,
-                mask_args=mask_args, clip_state=clip_state)
+                fbuf, tsamp=plan.tsamp_dec, nsamples=to_read,
+                offset=offset0 + isamp, clip_sigma=cfg.clip_sigma,
+                padvals=padvals, mask_args=mask_args, clip_state=clip_state)
 
         # A6/W2: SK filter (dragnet.cu:276-282)
         if cfg.use_skz:

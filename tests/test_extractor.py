@@ -1,0 +1,129 @@
+"""End-to-end: documents table -> Spark pipeline -> span sequences
+exactly equal (kind, text, media_ref, order) to the NumPy oracle;
+chunked giant-document path bit-identical; checkpoint/resume."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dragnet_spark.generate import (make_corpus, make_mask, scenario_configs,
+                                    write_corpus_parquet)
+from dragnet_spark.oracle import run_corpus
+from dragnet_spark.pipeline import (docs_to_df, nest_spans, run_job,
+                                    run_pipeline, run_pipeline_chunked)
+
+
+def _docs_df(spark, corpus):
+    docs = make_corpus(corpus)
+    return docs, docs_to_df(spark, docs)
+
+
+def _collect_sequences(rows_df):
+    """doc_id -> ordered [(kind, text, media_ref)] from exploded rows."""
+    out = {}
+    for r in (rows_df.where(F.col("kind") != "metrics")
+              .orderBy("doc_id", "seq").collect()):
+        out.setdefault(r.doc_id, []).append((r.kind, r.text, r.media_ref))
+    return out
+
+
+def _oracle_sequences(docs, cfg, mask):
+    res = run_corpus(docs, cfg, mask if cfg.use_mask else None)
+    return {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"])
+                          for s in r["spans"]] for r in res}
+
+
+@pytest.mark.parametrize("scenario", ["s0", "s1", "s2", "s3", "s4", "s5", "s6"])
+def test_pipeline_matches_oracle_tiny(spark, scenario):
+    docs, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")[scenario]
+    mask = make_mask("tiny")
+    got = _collect_sequences(
+        run_pipeline(df, cfg, mask if cfg.use_mask else None))
+    want = _oracle_sequences(docs, cfg, mask)
+    assert got.keys() == want.keys()
+    for doc_id in want:
+        assert got[doc_id] == want[doc_id], f"span mismatch in {doc_id}"
+
+
+def test_pipeline_matches_oracle_small_multiblock(spark):
+    docs, df = _docs_df(spark, "small")
+    cfg = scenario_configs("small")["s5"]      # everything on, multi-block
+    mask = make_mask("small")
+    got = _collect_sequences(run_pipeline(df, cfg, mask))
+    want = _oracle_sequences(docs, cfg, mask)
+    assert got == want
+
+
+def test_chunked_path_bitexact_on_skew_corpus(spark):
+    docs, df = _docs_df(spark, "skew")
+    cfg = scenario_configs("skew")["s6"]       # multi-block, no clip
+    cfg.blocksize = 1536
+    got = _collect_sequences(
+        run_pipeline_chunked(df, cfg, None, blocks_per_chunk=3))
+    want = _oracle_sequences(docs, cfg, None)
+    assert got.keys() == want.keys()
+    for doc_id in want:
+        assert got[doc_id] == want[doc_id], f"chunked mismatch in {doc_id}"
+
+
+def test_chunked_path_with_mask_absolute_offsets(spark):
+    docs, df = _docs_df(spark, "skew")
+    cfg = scenario_configs("skew")["s2"]       # mask on
+    cfg.clip_sigma = 0.0                       # chunked requires no clip
+    cfg.blocksize = 1536
+    mask = make_mask("skew")
+    got = _collect_sequences(
+        run_pipeline_chunked(df, cfg, mask, blocks_per_chunk=2))
+    want = _oracle_sequences(docs, cfg, mask)
+    for doc_id in want:
+        assert got[doc_id] == want[doc_id]
+
+
+def test_nest_spans_shape(spark):
+    _, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")["s0"]
+    nested = nest_spans(run_pipeline(df, cfg, None))
+    assert nested.columns == ["doc_id", "spans"]
+    row = nested.orderBy("doc_id").first()
+    kinds = [s.kind for s in row.spans]
+    assert kinds[:11] == ["timeseries"] * 11
+    assert kinds[11:22] == ["inf"] * 11
+
+
+def test_run_job_resume_skips_done(spark, tmp_path):
+    docs, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")["s0"]
+    out = str(tmp_path / "out")
+    # First run: only half the corpus ("failed" mid-run)
+    half = docs_to_df(spark, docs[:2])
+    r1 = run_job(spark, half, cfg, None, out, run_id="r1")
+    assert r1["n_processed"] == 2
+    # Resume with the full corpus: only the missing docs recompute
+    r2 = run_job(spark, docs_to_df(spark, docs), cfg, None, out,
+                 run_id="r1")
+    assert r2["n_skipped"] == 2 and r2["n_processed"] == 2
+    # Checkpoint table complete and output matches the oracle
+    ckpt = spark.read.parquet(f"{out}/checkpoint")
+    assert ckpt.where("status = 'done'").select("doc_id").distinct().count() == 4
+    rows = spark.read.parquet(f"{out}/spans")
+    got = _collect_sequences(rows)
+    want = _oracle_sequences(docs, cfg, None)
+    assert got == want
+    # Idempotent: a third run processes nothing
+    r3 = run_job(spark, docs_to_df(spark, docs), cfg, None, out,
+                 run_id="r1")
+    assert r3["n_processed"] == 0
+
+
+def test_parquet_roundtrip_matches(spark, tmp_path):
+    path = str(tmp_path / "tiny.parquet")
+    write_corpus_parquet("tiny", path)
+    df = spark.read.parquet(path)
+    docs = make_corpus("tiny")
+    cfg = scenario_configs("tiny")["s0"]
+    got = _collect_sequences(run_pipeline(df, cfg, None))
+    want = _oracle_sequences(docs, cfg, None)
+    assert got == want
