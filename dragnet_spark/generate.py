@@ -127,6 +127,45 @@ def scenario_configs(corpus: str) -> dict[str, RunConfig]:
     return cfgs
 
 
+def write_corpus_parquet_spark(spark, corpus: str, path: str,
+                               partitions: int | None = None) -> int:
+    """Materialize a corpus as parquet with generation ON THE EXECUTORS
+    (driver-side generation of the ``bench`` corpus would be ~1 GB of
+    single-threaded rng).  Deterministic: same (corpus, idx) seeds as
+    :func:`make_document` regardless of partitioning."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+
+    ndocs = CORPORA[corpus][0]
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(StructType([
+            StructField("kind", StringType(), False),
+            StructField("text", StringType(), True),
+            StructField("media_ref", StringType(), True),
+            StructField("offset", IntegerType(), True),
+        ])), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            for idx in pdf["idx"]:
+                d = make_document(corpus, int(idx))
+                yield pd.DataFrame({
+                    "doc_id": [d["doc_id"]],
+                    "spans": [[(s["kind"], s["text"], s["media_ref"],
+                                int(s["offset"])) for s in d["spans"]]],
+                })
+
+    idx_df = spark.range(ndocs).select(F.col("id").alias("idx")) \
+        .repartition(nparts)
+    idx_df.mapInPandas(gen, schema).write.mode("overwrite").parquet(path)
+    return ndocs
+
+
 def write_corpus_parquet(corpus: str, path: str) -> None:
     """Materialize a corpus as parquet via pyarrow (Spark-independent)."""
     import pyarrow as pa

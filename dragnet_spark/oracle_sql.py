@@ -225,6 +225,141 @@ LIMIT 10
            aa=_DOTSQL.format(a="embedding", b="embedding"),
            bb=_DOTSQL.format(a="qe", b="qe"))
 
+ORACLE_SQL["channel_stats"] = """
+WITH g AS (
+  SELECT user_id AS chan,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT chan, n,
+       ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean_value,
+       ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0), 6) AS var_samp_value
+FROM g
+"""
+
+ORACLE_SQL["padvals_trimmed"] = """
+WITH ranked AS (
+  SELECT user_id, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), lims AS (
+  SELECT *, FLOOR(n * 0.8 + 0.5) AS ln,
+         FLOOR((n - FLOOR(n * 0.8 + 0.5)) / 2) AS strt
+  FROM ranked
+)
+SELECT user_id AS chan,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+           AS padval,
+       COUNT(*) AS n_kept
+FROM lims WHERE rn > strt AND rn <= strt + ln
+GROUP BY user_id
+"""
+
+_TELESCOPE_VALUES = ", ".join(
+    f"({i}, '{n}')" for i, n in
+    [(0, "Fake"), (1, "Arecibo"), (2, "Ooty"), (3, "Nancay"), (4, "Parkes"),
+     (5, "Jodrell"), (6, "GBT"), (7, "GMRT"), (8, "Effelsberg"), (9, "ATA"),
+     (10, "UTR-2"), (11, "LOFAR"), (12, "FR606"), (13, "DE601"),
+     (14, "UK608")])
+
+ORACLE_SQL["telescope_lookup"] = f"""
+WITH dim(telescope_id, telescope) AS (VALUES {_TELESCOPE_VALUES})
+SELECT CAST(dim.telescope_id AS INT) AS telescope_id, telescope,
+       COUNT(*) AS n_events
+FROM events JOIN dim ON CAST(user_id % 15 AS INT) = dim.telescope_id
+GROUP BY 1, 2
+"""
+
+_HEXBIT = ("CASE WHEN (position(substring(h, {pos}, 1) IN "
+           "'0123456789abcdef') - 1) % 2 = 1 THEN 1 ELSE -1 END")
+
+ORACLE_SQL["dedup_simhash"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), s AS (
+  SELECT doc_id, """ + ",\n         ".join(
+    f"SUM({_HEXBIT.format(pos=i + 1)}) AS s{i}" for i in range(16)
+) + """
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id, CAST(""" + " + ".join(
+    f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16)
+) + """ AS BIGINT) AS simhash
+FROM s
+"""
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "table", "row"),
+    "de": ("hash", "join", "key", "big"),
+    "es": ("slow", "agg", "merge", "vector"),
+    "fr": ("scan", "query", "batch", "small"),
+    "zh": ("customer", "window", "line", "group"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def _lang_score(lg: str) -> str:
+    mk = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lg])
+    return (f"CAST(len(list_filter(string_split(text, ' '), "
+            f"w -> w IN ({mk}))) AS BIGINT)")
+
+
+def _lang_pred() -> str:
+    cases = []
+    for lg in _LANG_ORDER:
+        conds = " AND ".join(f"score_{lg} >= score_{o}"
+                             for o in _LANG_ORDER if o != lg)
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    return "CASE " + " ".join(cases) + " END"
+
+
+ORACLE_SQL["lang_id"] = """
+WITH s AS (
+  SELECT doc_id, lang AS actual_lang,
+         """ + ",\n         ".join(
+    f"{_lang_score(lg)} AS score_{lg}" for lg in _LANG_ORDER
+) + """
+  FROM documents
+)
+SELECT *, """ + _lang_pred() + """ AS predicted_lang FROM s
+"""
+
+ORACLE_SQL["token_counts_regex"] = """
+SELECT lang, COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS distinct_tokens
+FROM (SELECT lang,
+             unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+      FROM documents)
+GROUP BY lang
+"""
+
+ORACLE_SQL["rolling_fingerprint"] = """
+SELECT doc_id,
+       list_sum(list_transform(range(len(string_split(text, ' '))),
+           i -> ('0x' || substr(md5(string_split(text, ' ')[i+1]), 1, 8))
+                    ::BIGINT
+                * (1 + (i * 31) % 97))) % 1000000007 AS rolling_fp
+FROM documents
+"""
+
+ORACLE_SQL["embedding_near_dup"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {ab} / (SQRT({aa}) * SQRT({bb})) >= 0.45
+""".format(ab=_DOTSQL.format(a="a.embedding", b="b.embedding"),
+           aa=_DOTSQL.format(a="a.embedding", b="a.embedding"),
+           bb=_DOTSQL.format(a="b.embedding", b="b.embedding"))
+
 _LSH_BIT = ("CASE WHEN list_sum(list_transform(range(64), "
             "j -> embedding[j+1] * (CAST((j + {off}) * 37 % 101 AS DOUBLE)"
             " / 101.0 - 0.5))) > 0 THEN {w} ELSE 0 END")
@@ -238,3 +373,39 @@ SELECT bucket, COUNT(*) AS n_vecs FROM (
 )
 GROUP BY bucket
 """
+
+# The multimodal payload is synthesized deterministically from doc_id
+# (multimodal.fake_payload); the oracle recomputes every decoded feature
+# arithmetically, so equality proves the binary pack->parse roundtrip.
+ORACLE_SQL["media_features"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(64 + (doc_id * 7) % 192 AS INT) AS width,
+       CAST(64 + (doc_id * 13) % 128 AS INT) AS height,
+       CAST(1 + doc_id % 8 AS INT) AS n_frames,
+       (CAST(64 + (doc_id * 7) % 192 AS BIGINT) * 1000000)
+           // CAST(64 + (doc_id * 13) % 128 AS BIGINT) AS aspect_micro,
+       CAST((doc_id * 31) % 251 AS DOUBLE) AS mean_byte,
+       CAST(9 + (1 + doc_id % 8) * 16 AS INT) AS byte_len
+FROM documents
+"""
+
+_CELL4 = "CAST(" + " + ".join(
+    _LSH_BIT.format(off=i * 64, w=2 ** i) for i in range(4)
+) + " AS BIGINT)"
+
+ORACLE_SQL["ann_ivf_topk"] = """
+WITH cells AS (
+  SELECT vec_id, embedding, {cell} AS cell FROM embeddings
+), q AS (
+  SELECT embedding AS qe, cell AS qcell FROM cells WHERE vec_id = 0
+)
+SELECT vec_id, cell,
+       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
+FROM cells, q
+WHERE vec_id <> 0 AND cell = qcell
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""".format(cell=_CELL4,
+           ab=_DOTSQL.format(a="embedding", b="qe"),
+           aa=_DOTSQL.format(a="embedding", b="embedding"),
+           bb=_DOTSQL.format(a="qe", b="qe"))

@@ -343,6 +343,228 @@ def q_embedding_sign_lsh(spark, sf_dir):
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs")))
 
 
+# --------------------------------------------------------------------------
+# More reference cross-checks: A2/A5 statistics, S11 dimension lookup
+# --------------------------------------------------------------------------
+
+def q_channel_stats(spark, sf_dir):
+    """A2 updating mean/sample-variance (mask.c:81-112) per channel;
+    variance computed from exact decimal sums so Spark and the oracle
+    share the float expression: var = (s2 - s1*s1/n)/(n-1)."""
+    e = _t(spark, sf_dir, "events")
+    g = (e.groupBy(F.col("user_id").alias("chan"))
+         .agg(F.sum(_dec("value")).cast("double").alias("s1"),
+              F.sum(_dec("value") * _dec("value")).cast("double").alias("s2"),
+              F.count(F.lit(1)).alias("n")))
+    n = F.col("n").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1.0)
+    return g.select("chan", "n",
+                    F.round(F.col("s1") / n, 6).alias("mean_value"),
+                    F.round(var, 6).alias("var_samp_value"))
+
+
+def q_padvals_trimmed(spark, sf_dir):
+    """A5 per-channel padding values (mask.c:328-381): mid-80% trimmed
+    mean of each channel's values — trimmed_stats partitioned per
+    channel (determine_padvals calls calc_avgmedstd per channel)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    ranked = (e.select("user_id", "value", "event_id")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("user_id"))))
+    ln = F.floor(F.col("n") * 0.8 + 0.5)
+    start = F.floor((F.col("n") - ln) / 2)
+    return (ranked.where((F.col("rn") > start) & (F.col("rn") <= start + ln))
+            .groupBy(F.col("user_id").alias("chan"))
+            .agg(F.round(F.sum(_dec("value")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("padval"),
+                 F.count(F.lit(1)).alias("n_kept")))
+
+
+TELESCOPES = [(0, "Fake"), (1, "Arecibo"), (2, "Ooty"), (3, "Nancay"),
+              (4, "Parkes"), (5, "Jodrell"), (6, "GBT"), (7, "GMRT"),
+              (8, "Effelsberg"), (9, "ATA"), (10, "UTR-2"), (11, "LOFAR"),
+              (12, "FR606"), (13, "DE601"), (14, "UK608")]
+
+
+def q_telescope_lookup(spark, sf_dir):
+    """S11 id->name dimension lookup (inf.cxx:4-60) as a broadcast join
+    against a literal dim table; channel id hashed into telescope ids."""
+    e = _t(spark, sf_dir, "events")
+    dim = F.broadcast(spark.createDataFrame(
+        TELESCOPES, "telescope_id int, telescope string"))
+    keyed = e.select((F.col("user_id") % 15).cast("int")
+                     .alias("telescope_id"))
+    return (keyed.join(dim, "telescope_id")
+            .groupBy("telescope_id", "telescope")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: SimHash, language ID, regex tokens, rolling hash
+# --------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _hexbit(h, i: int):
+    """Parity of hex digit i (0-based) of md5 string column h -> +-1.
+    position() is 1-based in both Spark and DuckDB."""
+    digit = F.expr(
+        f"position(substring({h}, {i + 1}, 1), '{_HEX}') - 1")
+    return F.when(digit % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash dedup signature: 16-bit fingerprint; bit i = sign of the
+    sum over distinct tokens of the parity of md5 hex digit i (Charikar
+    2002 with per-bit +-1 votes)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(
+                F.array_distinct(F.split("text", " "))).alias("tok"))
+            .withColumn("h", F.md5("tok")))
+    per = toks.groupBy("doc_id").agg(
+        *[F.sum(_hexbit("h", i)).alias(f"s{i}") for i in range(16)])
+    fp = F.lit(0)
+    for i in range(16):
+        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return per.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+# Marker-token profiles for the n-gram-heuristic language classifier.
+# The corpus vocabulary is shared across langs (synthetic), so these are
+# fixed mechanism profiles; correctness = oracle equality, not accuracy.
+LANG_MARKERS = {
+    "en": ("the", "a", "table", "row"),
+    "de": ("hash", "join", "key", "big"),
+    "es": ("slow", "agg", "merge", "vector"),
+    "fr": ("scan", "query", "batch", "small"),
+    "zh": ("customer", "window", "line", "group"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID by marker-token profile scoring: score(l) = count of
+    tokens in l's marker set; predicted = first max in fixed order."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+
+    def marker_count(lg: str):
+        # NB: closure factory, not a default arg — a second lambda
+        # parameter would make F.filter pass the element *index*.
+        return F.size(F.filter(
+            arr, lambda w: w.isin(*LANG_MARKERS[lg]))).cast("bigint")
+
+    scores = {lg: marker_count(lg) for lg in _LANG_ORDER}
+    sel = d.select("doc_id", F.col("lang").alias("actual_lang"),
+                   *[scores[lg].alias(f"score_{lg}") for lg in _LANG_ORDER])
+    pred = None
+    for lg in _LANG_ORDER:
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lg:
+                continue
+            c = F.col(f"score_{lg}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (F.when(cond, F.lit(lg)) if pred is None
+                else pred.when(cond, F.lit(lg)))
+    return sel.withColumn("predicted_lang", pred)
+
+
+def q_token_counts_regex(spark, sf_dir):
+    """BPE-ish regex tokenization ([a-z]+|[0-9]+ runs) per language —
+    the regex-token variant of q_token_counts."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)
+    return (d.select("lang", F.explode(toks).alias("tok"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("total_tokens"),
+                 F.countDistinct("tok").alias("distinct_tokens")))
+
+
+_FP_MOD = 1_000_000_007
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: position-weighted
+    polynomial hash sum(val(tok_i) * (1 + (i*31) % 97)) mod 1e9+7,
+    val = first 8 md5 hex digits as int (Karp-Rabin-style)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    terms = F.transform(arr, lambda w, i:
+                        F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
+                         .cast("bigint") * (F.lit(1) + (i * 31) % 97))
+    h = F.aggregate(terms, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x) % _FP_MOD
+    return d.select("doc_id", h.alias("rolling_fp"))
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: embedding near-dup + IVF-style ANN
+# --------------------------------------------------------------------------
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline): all pairs
+    with cosine >= 0.45.  Quadratic by construction — the scale path is
+    the sign-LSH bucketing (q_embedding_sign_lsh/q_ann_ivf_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").cast("array<double>").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").cast("array<double>").alias("eb"))
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .where(cos >= 0.45)
+            .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")))
+
+
+def _lsh_bucket(nbits: int):
+    """Sign-LSH bucket over the first nbits deterministic hyperplanes
+    (same planes as q_embedding_sign_lsh)."""
+    def hyperplane(i: int):
+        def f(j):
+            return (((j + F.lit(i * 64)) * 37 % 101).cast("double")
+                    / 101.0 - 0.5)
+        return F.transform(F.sequence(F.lit(0), F.lit(63)), f)
+
+    bucket = F.lit(0).cast("bigint")
+    for i in range(nbits):
+        bucket = bucket + F.when(
+            _dot(F.col("embedding"), hyperplane(i)) > 0.0,
+            F.lit(2 ** i)).otherwise(F.lit(0))
+    return bucket
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse cells = 4-bit sign LSH (16 cells); probe
+    only the query vector's cell; exact cosine top-5 inside it.  At
+    scale the cell assignment is the partition key, so each probe scans
+    1/16th of the corpus."""
+    e = _t(spark, sf_dir, "embeddings").withColumn("cell", _lsh_bucket(4))
+    q = F.broadcast(e.where(F.col("vec_id") == 0)
+                    .select(F.col("embedding").cast("array<double>")
+                            .alias("qe"), F.col("cell").alias("qcell")))
+    cos = _cosine(F.col("embedding").cast("array<double>"), F.col("qe"))
+    return (e.where(F.col("vec_id") != 0).crossJoin(q)
+            .where(F.col("cell") == F.col("qcell"))
+            .select("vec_id", F.col("cell").cast("bigint").alias("cell"),
+                    F.round(cos, 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(5))
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal binary-column decode (see multimodal.py)."""
+    from .multimodal import q_media_features
+    return q_media_features(spark, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -361,4 +583,14 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_sign_lsh": q_embedding_sign_lsh,
+    "channel_stats": q_channel_stats,
+    "padvals_trimmed": q_padvals_trimmed,
+    "telescope_lookup": q_telescope_lookup,
+    "dedup_simhash": q_dedup_simhash,
+    "lang_id": q_lang_id,
+    "token_counts_regex": q_token_counts_regex,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "media_features": _q_media_features,
 }

@@ -35,8 +35,14 @@ def get_spark(app_name: str = "dragnet-spark", cores: int | None = None,
         # small so a batch of giant documents fits executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_batch_rows))
+        # Same wide-row concern on the scan side: the vectorized parquet
+        # reader's default 4096-row columnar batch is multi-GB when one
+        # document row is ~1.4 MB of span text — cap it.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "8")
+        # And bound scan partitions to ~64 MB of wide rows per task.
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction pipeline.
+
+Package + run (the north-rule deployment shape)::
+
+    python scripts/make_pyfiles.py                  # -> dist/dragnet_spark.zip
+    spark-submit --master local[32] \\
+        --py-files dist/dragnet_spark.zip job.py \\
+        --input /path/to/documents.parquet --out /tmp/dragnet_out \\
+        --config s0 --chunked --run-id run1
+
+On a real cluster only ``--master``/deploy-mode change; the job itself
+is cluster-agnostic (all parallelism comes from the input partitioning
+and the explicit repartitions inside the pipeline).
+
+``--corpus NAME`` generates the deterministic synthetic corpus on the
+executors instead of reading ``--input`` (sandbox convenience).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="documents parquet (doc_id, spans)")
+    src.add_argument("--corpus", help="synthetic corpus name (tiny/small/"
+                                      "bench/skew)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--config", default="s0",
+                   help="scenario id from generate.scenario_configs")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--chunked", action="store_true",
+                   help="halo-chunked skew path (requires clip off)")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--with-mask", action="store_true",
+                   help="apply the corpus rfifind-mask fixture")
+    args = p.parse_args()
+
+    # Session comes from spark-submit; fall back to a local one so the
+    # script also runs under plain `python job.py`.
+    spark = SparkSession.builder.appName("dragnet-job").getOrCreate()
+
+    from dragnet_spark.generate import (make_corpus, make_mask,
+                                        scenario_configs,
+                                        write_corpus_parquet_spark)
+    from dragnet_spark.pipeline import docs_to_df, run_job
+
+    corpus_for_cfg = args.corpus or "small"
+    cfg = scenario_configs(corpus_for_cfg)[args.config]
+    mask = make_mask(corpus_for_cfg) if args.with_mask else None
+
+    if args.corpus:
+        if args.corpus == "bench":
+            path = f"{args.out}/_input"
+            write_corpus_parquet_spark(spark, args.corpus, path)
+            docs = spark.read.parquet(path)
+        else:
+            docs = docs_to_df(spark, make_corpus(args.corpus))
+    else:
+        docs = spark.read.parquet(args.input)
+
+    stats = run_job(spark, docs, cfg, mask, args.out, run_id=args.run_id,
+                    resume=not args.no_resume, chunked=args.chunked)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

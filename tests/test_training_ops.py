@@ -1,0 +1,91 @@
+"""Tests for the training-data operator suite: multimodal binary
+plumbing, streaming batch/stream parity, and spot checks of the new
+relational operators (full oracle equality runs in scripts/selfcheck.py
+and the driver's CORRECTNESS gate)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary columns
+# --------------------------------------------------------------------------
+
+def test_fake_payload_roundtrip():
+    from dragnet_spark.multimodal import MAGIC, _decode_fimg, fake_payload
+    for doc_id in (0, 1, 7, 123, 499):
+        p = fake_payload(doc_id)
+        assert p[:4] == MAGIC
+        w, h, nf, mean = _decode_fimg(p)
+        assert w == 64 + (doc_id * 7) % 192
+        assert h == 64 + (doc_id * 13) % 128
+        assert nf == 1 + doc_id % 8
+        assert mean == float((doc_id * 31) % 251)
+        assert len(p) == 9 + nf * 16
+
+
+def test_media_features_spark(spark):
+    from dragnet_spark.multimodal import q_media_features
+    feats = q_media_features(spark, SF).orderBy("doc_id").limit(5).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert r.width == 64 + (r.doc_id * 7) % 192
+        assert r.aspect_micro == (r.width * 1_000_000) // r.height
+        assert r.mean_byte == float((r.doc_id * 31) % 251)
+
+
+def test_decode_with_library_is_stubbed():
+    from dragnet_spark.multimodal import decode_with_library
+    with pytest.raises(NotImplementedError):
+        decode_with_library(b"\x89PNG....")
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming parity
+# --------------------------------------------------------------------------
+
+def test_stream_equals_batch(spark):
+    from dragnet_spark.streaming import run_streaming_stats, windowed_stats
+    batch = windowed_stats(
+        spark.read.parquet(f"{SF}/events.parquet"))
+    got = run_streaming_stats(spark, SF, table="t_stream_parity")
+    key = ["window_start", "chan"]
+    b = {tuple(r[k] for k in key): (r.m, r.zero_dm, r.sk)
+         for r in batch.collect()}
+    s = {tuple(r[k] for k in key): (r.m, r.zero_dm, r.sk)
+         for r in got.collect()}
+    assert b == s
+    assert len(b) > 0
+
+
+# --------------------------------------------------------------------------
+# New relational operators: smoke + invariants
+# --------------------------------------------------------------------------
+
+def test_simhash_is_16_bit(spark):
+    from dragnet_spark.queries import q_dedup_simhash
+    import pyspark.sql.functions as F
+    r = (q_dedup_simhash(spark, SF)
+         .agg(F.min("simhash"), F.max("simhash"), F.count(F.lit(1)))
+         .collect()[0])
+    assert 0 <= r[0] and r[1] < 65536 and r[2] == 500
+
+
+def test_lang_id_predicts_from_markers(spark):
+    from dragnet_spark.queries import _LANG_ORDER, q_lang_id
+    rows = q_lang_id(spark, SF).limit(50).collect()
+    for r in rows:
+        scores = {lg: r[f"score_{lg}"] for lg in _LANG_ORDER}
+        best = max(scores.values())
+        expect = next(lg for lg in _LANG_ORDER if scores[lg] == best)
+        assert r.predicted_lang == expect
+
+
+def test_ivf_probes_single_cell(spark):
+    from dragnet_spark.queries import q_ann_ivf_topk
+    rows = q_ann_ivf_topk(spark, SF).collect()
+    assert 0 < len(rows) <= 5
+    assert len({r.cell for r in rows}) == 1
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
