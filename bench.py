@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -79,7 +80,8 @@ def run_flagship(spark, ndocs: int) -> float:
 def flagship_only(cores: int, runs: int) -> None:
     spark = get_session(cores)
     ndocs = ensure_corpus(spark)
-    run_flagship(spark, ndocs)  # warm-up (JIT, Arrow, plan cache)
+    for _ in range(2):  # warm-up (JIT of generated code, Arrow paths)
+        run_flagship(spark, ndocs)
     times = [run_flagship(spark, ndocs) for _ in range(runs)]
     spark.stop()
     med = sorted(times)[len(times) // 2]
@@ -90,10 +92,16 @@ def flagship_only(cores: int, runs: int) -> None:
 def scaling(runs: int) -> None:
     results = {}
     for cores in (8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__, "--flagship-only",
-             "--cores", str(cores), "--runs", str(runs)],
-            capture_output=True, text=True, check=True, cwd=REPO)
+        # Pin the whole process tree (JVM + Python workers) to exactly
+        # `cores` CPUs: plain local[8] on a 32-core box lets the Python
+        # workers overflow onto the 24 idle cores, inflating the N-core
+        # baseline — a real 8-core executor has no spare cores.
+        cmd = [sys.executable, __file__, "--flagship-only",
+               "--cores", str(cores), "--runs", str(runs)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             check=True, cwd=REPO)
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
     t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
     eff = t32 / (4.0 * t8)
@@ -106,7 +114,9 @@ dedisperse, scenario `s3`) over the deterministic `bench` corpus
 ({results[8]['ndocs']} documents x 128 chan x 8192 samples, seed 42;
 `dragnet_spark/generate.py`), identical input at both parallelism
 levels.  Per the driver instruction, local[8] vs local[32] on the same
-32-core host is the sandbox proxy for N vs 4N executors.
+32-core host is the sandbox proxy for N vs 4N executors; each run is
+CPU-pinned (`taskset -c 0-N`) so the JVM + Python workers of the
+local[8] job really share 8 cores, as an 8-core executor would.
 
 | parallelism | runs (sec) | median sec | docs/sec |
 |---|---|---|---|
@@ -117,8 +127,8 @@ levels.  Per the driver instruction, local[8] vs local[32] on the same
 {t32:.1f} / (4 x {t8:.1f}) = **{eff:.3f}** (north-rule target >= 0.8:
 {'MET' if eff >= 0.8 else 'NOT MET'}).
 
-Reproduce: `python bench.py --scaling` (3 timed runs per level after a
-warm-up run; median reported).
+Reproduce: `python bench.py --scaling` (3 timed runs per level after
+two warm-up runs; median reported).
 """
     (bench_dir / "BASELINE.md").write_text(md)
     print(json.dumps({"docs_per_sec_8": t8, "docs_per_sec_32": t32,
@@ -145,7 +155,8 @@ def driver_bench() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # Flagship at bench scale (1024 docs, 1 GiB raw spectra).
-    run_flagship(spark, ndocs)  # warm-up
+    for _ in range(2):  # warm-up (JIT of generated code, Arrow paths)
+        run_flagship(spark, ndocs)
     fl = run_flagship(spark, ndocs)
     timings["dedisperse_bench"] = round(fl, 3)
     spark.stop()

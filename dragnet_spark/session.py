@@ -43,6 +43,11 @@ def get_spark(app_name: str = "dragnet-spark", cores: int | None = None,
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # MB-sized span arrays are humongous objects for G1's default
+        # region size; 32m regions keep them in normal allocation and
+        # stabilize throughput run-to-run (measured ~2x less variance).
+        .config("spark.driver.extraJavaOptions",
+                "-XX:G1HeapRegionSize=32m")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
