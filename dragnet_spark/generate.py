@@ -25,6 +25,7 @@ CORPORA: dict[str, tuple[int, int, int, float]] = {
     "tiny":  (4,    16,  512,   0.002),
     "small": (64,   64,  4096,  0.0015),
     "bench": (1024, 128, 8192,  0.00049152),
+    "scale": (4096, 128, 8192,  0.00049152),  # scaling-efficiency runs
     "skew":  (8,    64,  2048,  0.0015),   # doc 0 overridden to T=65536
 }
 
@@ -120,7 +121,7 @@ def scenario_configs(corpus: str) -> dict[str, RunConfig]:
         # multi-block, single-decimation variant
         "s6": RunConfig(config_id="s6", blocksize=bs, **base),
     }
-    if corpus == "bench":
+    if corpus in ("bench", "scale"):
         for c in cfgs.values():
             c.dm_end = 30.0
             c.dm_step = 2.5

@@ -21,6 +21,13 @@ def get_spark(app_name: str = "dragnet-spark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Large transient buffers (strip decode, series encode) otherwise
+    # mmap/munmap on every document (glibc MMAP_THRESHOLD=128k), burning
+    # kernel time in TLB shootdowns across workers.  Must be set before
+    # the JVM forks the Python workers (they inherit the env).
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
@@ -41,13 +48,14 @@ def get_spark(app_name: str = "dragnet-spark", cores: int | None = None,
         .config("spark.sql.parquet.columnarReaderBatchSize", "8")
         # And bound scan partitions to ~64 MB of wide rows per task.
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", mem)
         # MB-sized span arrays are humongous objects for G1's default
-        # region size; 32m regions keep them in normal allocation and
-        # stabilize throughput run-to-run (measured ~2x less variance).
+        # region size; 32m regions keep them in normal allocation.
+        # Xms=Xmx pins the committed heap: G1's periodic region
+        # uncommit/recommit otherwise causes kernel page churn (measured
+        # as 50-95% sys time at 32 threads).
         .config("spark.driver.extraJavaOptions",
-                "-XX:G1HeapRegionSize=32m")
+                f"-Xms{mem} -XX:G1HeapRegionSize=32m")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
