@@ -374,6 +374,28 @@ SELECT bucket, COUNT(*) AS n_vecs FROM (
 GROUP BY bucket
 """
 
+# Streaming windowed stats, batch form.  Spark's window('1 hour')
+# start == date_trunc('hour') for hour-aligned tumbling windows.
+ORACLE_SQL["windowed_stats"] = """
+WITH g AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+         user_id AS chan,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         COUNT(*) AS m
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, chan, m,
+       ROUND(s1, 6) AS zero_dm,
+       CASE WHEN m > 1 AND s1 <> 0.0 THEN
+         ROUND((CAST(m AS DOUBLE) * 12.0 + 1.0) / (CAST(m AS DOUBLE) - 1.0)
+               * (CAST(m AS DOUBLE) * s2 / (s1 * s1) - 1.0), 6)
+       END AS sk
+FROM g
+"""
+
 # The multimodal payload is synthesized deterministically from doc_id
 # (multimodal.fake_payload); the oracle recomputes every decoded feature
 # arithmetically, so equality proves the binary pack->parse roundtrip.

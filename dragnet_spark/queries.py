@@ -582,6 +582,19 @@ def q_ann_ivf_topk(spark, sf_dir):
             .limit(5))
 
 
+def q_windowed_stats(spark, sf_dir):
+    """Event-time tumbling-window zero-DM + SK stats (streaming.py,
+    batch form; the stream==batch parity is tested separately).  Window
+    start formatted as a string for engine-portable comparison."""
+    from .streaming import windowed_stats
+    e = _t(spark, sf_dir, "events")
+    w = windowed_stats(e)
+    return w.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"),
+        "chan", "m", "zero_dm", "sk")
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal binary-column decode (see multimodal.py)."""
     from .multimodal import q_media_features
@@ -616,4 +629,5 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_features": _q_media_features,
+    "windowed_stats": q_windowed_stats,
 }

@@ -25,10 +25,13 @@ def windowed_stats(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling event-time window stats: zero-DM sum + SK estimator per
     (window, channel=user_id)."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Exact decimal sums: engine- and plan-independent (stream == batch
+    # == DuckDB oracle regardless of float association order).
+    dec = F.col("value").cast("decimal(18,2)")
     g = (events.groupBy(F.window("ts", window).alias("w"),
                         F.col("user_id").alias("chan"))
-         .agg(F.sum("value").alias("s1"),
-              F.sum(F.col("value") * F.col("value")).alias("s2"),
+         .agg(F.sum(dec).cast("double").alias("s1"),
+              F.sum(dec * dec).cast("double").alias("s2"),
               F.count(F.lit(1)).alias("m")))
     md = F.col("m").cast("double")
     # Guard m=1 / s1=0 groups (skz.c masks those as NaN; SQL NULL here).
