@@ -42,10 +42,20 @@ class Header:
     az_start: float = 0.0
     za_start: float = 0.0
     source_name: str = "FAKE_PSR"
+    # Channel layout of the encoded sample strips: 'high' = channel 0 is
+    # the highest frequency (SIGPROC canon); 'low' = lowest-first as
+    # LOFAR HDF5 stores it — the reader reverses to high-first exactly
+    # like the reference (lofarhdf5.cxx:325-335).
+    chan_order: str = "high"
 
     def to_json(self) -> str:
-        """Canonical sorted-keys JSON used for the ``kind='header'`` span."""
-        return json.dumps(asdict(self), sort_keys=True)
+        """Canonical sorted-keys JSON used for the ``kind='header'`` span.
+        ``chan_order`` is omitted for the canonical high-first (SIGPROC)
+        layout so pre-existing fixtures keep their byte-exact header."""
+        d = asdict(self)
+        if d.get("chan_order") == "high":
+            d.pop("chan_order")
+        return json.dumps(d, sort_keys=True)
 
     @classmethod
     def from_json(cls, text: str) -> "Header":

@@ -133,11 +133,16 @@ def prepare_documents(df: DataFrame) -> DataFrame:
     )
 
 
-def _decode_payload(sample_bins, sample_offsets, nchan: int) -> np.ndarray:
+def _decode_payload(sample_bins, sample_offsets, header) -> np.ndarray:
     order = np.argsort(np.asarray(sample_offsets, dtype=np.int64),
                        kind="stable")
     raw = b"".join(bytes(sample_bins[i]) for i in order)
-    return np.frombuffer(raw, dtype=np.uint8).reshape(-1, nchan)
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(-1, header.nchan)
+    if header.chan_order == "low":
+        # LOFAR low-first layout -> SIGPROC high-first, as the reference
+        # reader does (lofarhdf5.cxx:325-335).
+        data = data[:, ::-1]
+    return data
 
 
 def _media_list(media_json: str | None) -> list[dict]:
@@ -186,7 +191,7 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
                     pdf["sample_bins"], pdf["media"]):
                 t0 = time.perf_counter()
                 plan = _cached_plan(hjson, cfg_l, mask_l)
-                data = _decode_payload(bins, offsets, plan.header.nchan)
+                data = _decode_payload(bins, offsets, plan.header)
                 out, metrics = process_document(data, plan)
                 spans = build_output_spans(
                     out, plan.dmlist, plan.header,
@@ -251,7 +256,7 @@ def run_pipeline_chunked(df: DataFrame, cfg: RunConfig,
                     pdf["sample_bins"], pdf["media"]):
                 plan = _cached_plan(hjson, cfg_l, mask_l)
                 h = plan.header
-                data = _decode_payload(bins, offsets, h.nchan)
+                data = _decode_payload(bins, offsets, h)
                 sbr = plan.max_delay * cfg_l.ndec
                 bounds = _chunk_bounds(h.nsamp, plan.blocksize, sbr,
                                        blocks_per_chunk)

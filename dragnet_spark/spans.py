@@ -82,6 +82,10 @@ def decode_document(spans: list[dict]) -> tuple[Header, np.ndarray, list[dict]]:
     strips.sort(key=lambda x: x[0])
     raw = b"".join(b for _, b in strips)
     data = np.frombuffer(raw, dtype=np.uint8).reshape(-1, header.nchan)
+    if header.chan_order == "low":
+        # LOFAR layout: reverse to SIGPROC high-first exactly as the
+        # reference reader does (lofarhdf5.cxx:325-335).
+        data = data[:, ::-1]
     if data.shape[0] != header.nsamp:
         raise ValueError(
             f"sample strips cover {data.shape[0]} != header nsamp {header.nsamp}")

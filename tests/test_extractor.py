@@ -127,3 +127,34 @@ def test_parquet_roundtrip_matches(spark, tmp_path):
     got = _collect_sequences(run_pipeline(df, cfg, None))
     want = _oracle_sequences(docs, cfg, None)
     assert got == want
+
+
+def test_lofar_low_first_channel_order_parity(spark):
+    """S7/S8: a document stored in LOFAR low-first channel layout
+    (header chan_order='low', strips reversed) must produce the exact
+    span sequence of its SIGPROC high-first encoding — the reader-side
+    reversal of lofarhdf5.cxx:325-335."""
+    import numpy as np
+    from dragnet_spark.generate import corpus_header, scenario_configs
+    from dragnet_spark.params import Header
+    from dragnet_spark.pipeline import docs_to_df, run_pipeline
+    from dragnet_spark.spans import encode_document
+
+    h = corpus_header("tiny")
+    rng = np.random.default_rng([42, 777])
+    data = rng.integers(0, 256, size=(h.nsamp, h.nchan), dtype=np.uint8)
+    media = [{"media_ref": "img://x/0", "text": "c", "offset": 3}]
+
+    d_high = encode_document("doc-x", h, data, media)
+    h_low = Header(**{**h.__dict__, "chan_order": "low"})
+    d_low = encode_document("doc-x", h_low, data[:, ::-1], media)
+
+    cfg = scenario_configs("tiny")["s0"]
+    out_h = run_pipeline(docs_to_df(spark, [d_high]), cfg, None)
+    out_l = run_pipeline(docs_to_df(spark, [d_low]), cfg, None)
+    rows_h = [(r.seq, r.kind, r.text, r.media_ref, r.offset)
+              for r in out_h.where("kind != 'metrics'").collect()]
+    rows_l = [(r.seq, r.kind, r.text, r.media_ref, r.offset)
+              for r in out_l.where("kind != 'metrics'").collect()]
+    assert sorted(rows_h) == sorted(rows_l)
+    assert len(rows_h) > 0
