@@ -28,7 +28,8 @@ from pyspark.sql import SparkSession
 def main() -> None:
     p = argparse.ArgumentParser()
     src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="documents parquet (doc_id, spans)")
+    src.add_argument("--input", help="documents source: parquet path or "
+                                     "'table:<catalog.db.table>' (Iceberg)")
     src.add_argument("--corpus", help="synthetic corpus name (tiny/small/"
                                       "bench/skew)")
     p.add_argument("--out", required=True)
@@ -63,7 +64,8 @@ def main() -> None:
         else:
             docs = docs_to_df(spark, make_corpus(args.corpus))
     else:
-        docs = spark.read.parquet(args.input)
+        from dragnet_spark.io import read_documents
+        docs = read_documents(spark, args.input)
 
     stats = run_job(spark, docs, cfg, mask, args.out, run_id=args.run_id,
                     resume=not args.no_resume, chunked=args.chunked)

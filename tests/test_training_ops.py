@@ -89,3 +89,25 @@ def test_ivf_probes_single_cell(spark):
     assert len({r.cell for r in rows}) == 1
     sims = [r.cos_sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# IO layer: Iceberg detection + parquet fallback
+# --------------------------------------------------------------------------
+
+def test_io_parquet_roundtrip(spark, tmp_path):
+    from dragnet_spark.io import read_documents, write_documents
+    src = read_documents(spark, f"{SF}/documents.parquet")
+    write_documents(src.limit(5), str(tmp_path / "docs.parquet"),
+                    mode="overwrite")
+    back = read_documents(spark, str(tmp_path / "docs.parquet"))
+    assert back.count() == 5
+    assert back.columns == src.columns
+
+
+def test_io_iceberg_missing_is_explicit(spark):
+    from dragnet_spark.io import iceberg_available, read_documents
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present")
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        read_documents(spark, "table:lake.db.documents")
