@@ -180,6 +180,17 @@ def driver_bench() -> None:
     timings: dict[str, float] = {}
     qs = entry_mod.queries()
     qs.pop("dedisperse_tiny", None)  # tiny smoke — benched at scale below
+
+    # Session warm-up: JIT the scan/agg/window/Arrow code paths once so
+    # per-query numbers measure the query, not first-use compilation.
+    from pyspark.sql import functions as F
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000) \
+        .mapInPandas(lambda it: it, "event_id long, ts timestamp, "
+                     "user_id long, event_type string, value double, "
+                     "props string").count()
+
     for name, fn in qs.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

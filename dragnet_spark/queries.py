@@ -203,8 +203,10 @@ _N_BANDS = 4     # bands of 2 hashes each
 
 def _minhash_df(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    sh = (d.select("doc_id", F.explode(_shingles()).alias("s"))
-          .distinct())
+    # No distinct: min over the shingle multiset == min over the set,
+    # so the dedup shuffle is pure overhead here (the oracle keeps its
+    # DISTINCT — results are identical).
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
     aggs = [F.min(F.md5(F.concat(F.col("s"), F.lit(f":{k}"))))
             .alias(f"h{k}") for k in range(_N_MINHASH)]
     return sh.groupBy("doc_id").agg(*aggs)
