@@ -430,6 +430,26 @@ def dedisperse(z: np.ndarray, delays: np.ndarray, max_delay: int) -> np.ndarray:
     return out
 
 
+def scrunch_series(out: np.ndarray, dt_factors: np.ndarray) -> list[np.ndarray]:
+    """D5 adaptive time scrunch: per-DM tumbling mean of ``factor``
+    consecutive output samples, tail remainder dropped (PINNED; the
+    reference's own use_dt path is off by default, ``dragnet.cu:56``).
+    Arithmetic matches :func:`decimate_timeseries`: float32 sum of the
+    group then division by the factor."""
+    series = []
+    for d in range(out.shape[0]):
+        f = int(dt_factors[d]) if d < len(dt_factors) else 1
+        x = out[d]
+        if f <= 1:
+            series.append(x)
+            continue
+        n = (x.shape[0] // f) * f
+        g = x[:n].reshape(-1, f)
+        series.append((g.sum(axis=1, dtype=np.float32)
+                       / np.float32(f)).astype(np.float32))
+    return series
+
+
 def zero_dm(z: np.ndarray) -> np.ndarray:
     """Zero-DM series (A1, ``mask.c:582-588``): float32 channel sum."""
     return z.sum(axis=1, dtype=np.float32)

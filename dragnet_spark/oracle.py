@@ -10,7 +10,7 @@ functions — one implementation, two harnesses, zero drift.
 
 from __future__ import annotations
 
-from .kernels import process_document
+from .kernels import process_document, scrunch_series
 from .params import Header, MaskSpec, RunConfig
 from .plan import DedispPlan, build_plan
 from .spans import build_output_spans, decode_document
@@ -26,10 +26,13 @@ def run_document(doc: dict, cfg: RunConfig,
     if plan is None:
         plan = build_plan(header, cfg, mask)
     out, metrics = process_document(data, plan)
+    if cfg.use_dt:
+        out = scrunch_series(out, plan.dt_factors)
     spans = build_output_spans(
         out, plan.dmlist, header, nsamp_dec=plan.nsamp_dec,
         tsamp_dec=plan.tsamp_dec, max_delay=plan.max_delay,
-        prefix=cfg.prefix, media=media)
+        prefix=cfg.prefix, media=media,
+        dt_factors=plan.dt_factors if cfg.use_dt else None)
     return {"doc_id": doc["doc_id"], "spans": spans, "metrics": metrics}
 
 

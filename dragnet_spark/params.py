@@ -78,6 +78,7 @@ class RunConfig:
     nskz: int = 12                    # SK averaged spectra (dragnet.cu:53)
     sskz: float = 4.0                 # SK sigma            (dragnet.cu:54)
     ndec: int = 1                     # time decimation     (dragnet.cu:57)
+    use_dt: bool = False              # adaptive time scrunch (dragnet.cu:56)
     dm_start: float = 0.0             # dragnet.cu:45
     dm_end: float = 50.0              # dragnet.cu:46
     dm_step: float = 0.0              # 0 => optimal (Levin) list (dragnet.cu:123)

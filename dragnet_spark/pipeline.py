@@ -35,7 +35,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from . import __version__
-from .kernels import process_document
+from .kernels import process_document, scrunch_series
 from .params import Header, MaskSpec, RunConfig
 from .plan import DedispPlan, build_plan
 from .spans import build_output_spans, writeinf_text
@@ -193,11 +193,14 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
                 plan = _cached_plan(hjson, cfg_l, mask_l)
                 data = _decode_payload(bins, offsets, plan.header)
                 out, metrics = process_document(data, plan)
+                if cfg_l.use_dt:
+                    out = scrunch_series(out, plan.dt_factors)
                 spans = build_output_spans(
                     out, plan.dmlist, plan.header,
                     nsamp_dec=plan.nsamp_dec, tsamp_dec=plan.tsamp_dec,
                     max_delay=plan.max_delay, prefix=cfg_l.prefix,
-                    media=_media_list(media_json))
+                    media=_media_list(media_json),
+                    dt_factors=plan.dt_factors if cfg_l.use_dt else None)
                 for i, s in enumerate(spans):
                     rows.append({"doc_id": doc_id, "seq": i, **s})
                 rows.append(_metrics_row(
@@ -242,6 +245,10 @@ def run_pipeline_chunked(df: DataFrame, cfg: RunConfig,
     if cfg.clip_sigma > 0.0 and cfg.use_mask:
         raise ValueError("chunked path requires clip_sigma == 0 "
                          "(clipper EWMA is sequential per document)")
+    if cfg.use_dt:
+        raise ValueError("chunked path does not support use_dt "
+                         "(per-DM scrunch groups span chunk boundaries); "
+                         "use the per-document path")
     cfg_json = cfg.to_json()
     mask_json = mask.to_json() if mask else None
     prepared = prepare_documents(df)

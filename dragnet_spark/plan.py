@@ -78,6 +78,34 @@ def optimal_dm_list(dm_start: float, dm_end: float, dt: float, ti: float,
     return np.asarray(dms, dtype=np.float32)
 
 
+def dt_factor_list(dmlist: np.ndarray, dt: float, ti: float, f0: float,
+                   df: float, nchans: int, tol: float) -> np.ndarray:
+    """Per-DM adaptive time-scrunch factors (D5,
+    ``dedisp_enable_adaptive_dt``/``dedisp_get_dt_factors``, called at
+    ``dragnet.cu:146-153,185``).
+
+    The exact formula lives in the external dedisp library (SURVEY.md
+    §2.6 ⚠); PINNED semantics here, from the same smearing model as
+    :func:`optimal_dm_list`: with a = 8.3*df/f**3 (us channel smearing
+    per DM unit at band centre) and smear(d) = sqrt(ti^2 + (a*d)^2),
+    factor(d) = the largest power of two f with
+    f * dt_us <= tol * max(dt_us, smear(d)).  factor(0) == 1 and
+    factors are nondecreasing in DM.
+    """
+    dt_us = dt * 1e6
+    f = (f0 + ((nchans / 2) - 0.5) * df) * 1e-3
+    a = 8.3 * df / (f * f * f)
+    out = np.ones(len(dmlist), dtype=np.int64)
+    for i, d in enumerate(np.asarray(dmlist, dtype=np.float64)):
+        smear = math.sqrt(ti * ti + (a * d) * (a * d))
+        budget = tol * max(dt_us, smear)
+        fct = 1
+        while 2 * fct * dt_us <= budget:
+            fct *= 2
+        out[i] = fct
+    return out
+
+
 # --------------------------------------------------------------------------
 # Delay table + max delay (D1/D4)
 # --------------------------------------------------------------------------
@@ -332,6 +360,8 @@ class DedispPlan:
     max_delay: int                    # decimated samples
     nsamp_computed: int               # nsamp_dec - max_delay
     zap_channels: np.ndarray          # int, user zap list (raw indices)
+    dt_factors: np.ndarray = field(
+        default_factory=lambda: np.array([], np.int64))  # D5, per DM
     sk_lims: tuple[float, float] = (0.0, 0.0)
     sk_mint: int = 0                  # ceil(blocksize / mskz), dragnet.cu:220
     mask: MaskSpec | None = None
@@ -383,6 +413,19 @@ def build_plan(header: Header, cfg: RunConfig,
         raise ValueError(
             f"blocksize ({blocksize}/{ndec}) <= max DM delay ({max_delay})")
 
+    if cfg.use_dt:
+        # PINNED restriction: adaptive scrunch needs the whole-document
+        # block (per-block tails of a partial scrunch group are
+        # undefined in the reference, which is off-by-default here).
+        if blocksize != header.nsamp:
+            raise ValueError("use_dt requires blocksize == nsamp "
+                             "(whole-document block)")
+        dt_factors = dt_factor_list(dmlist, tsamp_dec, cfg.pulse_width,
+                                    header.fch1, header.foff, header.nchan,
+                                    cfg.dm_tol)
+    else:
+        dt_factors = np.ones(len(dmlist), dtype=np.int64)
+
     zap = np.asarray(
         ranges_to_ivect(cfg.zapchan, 0, header.nchan - 1) if cfg.zapchan else [],
         dtype=np.int64)
@@ -398,7 +441,8 @@ def build_plan(header: Header, cfg: RunConfig,
         header=header, cfg=cfg, tsamp_dec=tsamp_dec, nsamp_dec=nsamp_dec,
         blocksize=blocksize, dmlist=dmlist, delays=delays,
         max_delay=max_delay, nsamp_computed=nsamp_computed,
-        zap_channels=zap, sk_lims=sk_lims, sk_mint=sk_mint, mask=mask)
+        zap_channels=zap, dt_factors=dt_factors, sk_lims=sk_lims,
+        sk_mint=sk_mint, mask=mask)
 
     if mask is not None and cfg.use_mask:
         from .kernels import inverse_mask     # local import: avoid cycle

@@ -182,14 +182,20 @@ def writeinf_text(header: Header, outstem: str, dm: float, *,
 # Output spans (S9 + S10 + media pass-through)
 # --------------------------------------------------------------------------
 
-def build_output_spans(out: np.ndarray, dmlist: np.ndarray, header: Header,
+def build_output_spans(out, dmlist: np.ndarray, header: Header,
                        *, nsamp_dec: int, tsamp_dec: float, max_delay: int,
-                       prefix: str, media: list[dict]) -> list[dict]:
+                       prefix: str, media: list[dict],
+                       dt_factors: np.ndarray | None = None) -> list[dict]:
     """Per FIXTURES.md §4: per DM ascending a ``timeseries`` span
     (base64 float32-LE of the full concatenated series — the
     per-DM ``.dat`` file content, ``dragnet.cu:310-323``), then per DM
     an ``inf`` span (``dragnet.cu:325``), then the pass-through media
-    spans in original relative order."""
+    spans in original relative order.
+
+    ``out`` is a rectangular (ndm, n) array, or — on the adaptive-dt
+    path (D5) — a list of per-DM series of differing lengths, with
+    ``dt_factors`` giving each DM's scrunch factor (the per-DM ``.inf``
+    then carries the scrunched bin count and width)."""
     spans: list[dict] = []
     for d, dm in enumerate(dmlist):
         series = np.ascontiguousarray(out[d], dtype="<f4")
@@ -201,10 +207,19 @@ def build_output_spans(out: np.ndarray, dmlist: np.ndarray, header: Header,
         })
     for d, dm in enumerate(dmlist):
         dmv = float(np.float32(dm))
+        if dt_factors is not None and int(dt_factors[d]) > 1:
+            f = int(dt_factors[d])
+            nbins = len(out[d])
+            inf_text = writeinf_text(header, prefix, dmv, nsamp_dec=nbins,
+                                     tsamp_dec=tsamp_dec * f, shift_back=0)
+        else:
+            inf_text = writeinf_text(header, prefix, dmv,
+                                     nsamp_dec=nsamp_dec,
+                                     tsamp_dec=tsamp_dec,
+                                     shift_back=max_delay)
         spans.append({
             "kind": "inf",
-            "text": writeinf_text(header, prefix, dmv, nsamp_dec=nsamp_dec,
-                                  tsamp_dec=tsamp_dec, shift_back=max_delay),
+            "text": inf_text,
             "media_ref": "inf://%s_DM%.3f.inf" % (prefix, dmv),
             "offset": d,
         })

@@ -158,3 +158,34 @@ def test_lofar_low_first_channel_order_parity(spark):
               for r in out_l.where("kind != 'metrics'").collect()]
     assert sorted(rows_h) == sorted(rows_l)
     assert len(rows_h) > 0
+
+
+def test_adaptive_dt_pipeline_equals_oracle(spark):
+    """D5 end-to-end: use_dt pipeline output == oracle, per-DM series
+    lengths = floor(nsamp_computed / factor), .inf carries scrunched
+    bin count and width."""
+    import base64
+    from dragnet_spark.generate import make_corpus, scenario_configs
+    from dragnet_spark.oracle import run_corpus
+    from dragnet_spark.params import RunConfig
+    from dragnet_spark.pipeline import docs_to_df, run_pipeline
+
+    cfg = RunConfig(config_id="sdt", prefix="test", dm_start=0.0,
+                    dm_end=120.0, dm_step=20.0, use_dt=True)
+    docs = make_corpus("tiny")
+    want = {d["doc_id"]: d["spans"] for d in run_corpus(docs, cfg)}
+    rows = run_pipeline(docs_to_df(spark, docs), cfg, None)
+    got: dict[str, list] = {}
+    for r in rows.where("kind != 'metrics'").collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.seq, r.kind, r.text, r.media_ref, r.offset))
+    assert set(got) == set(want)
+    for doc_id, spans in want.items():
+        got_sorted = [t[1:] for t in sorted(got[doc_id])]
+        want_tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in spans]
+        assert got_sorted == want_tuples, doc_id
+    # sanity: at least one DM actually scrunched (different series lens)
+    lens = {len(base64.b64decode(s["text"])) // 4
+            for s in next(iter(want.values())) if s["kind"] == "timeseries"}
+    assert len(lens) > 1

@@ -346,3 +346,30 @@ def test_optimal_dm_list_monotone_increasing_spacing():
 def test_delay_table_monotone():
     dt = P.delay_table(16, 0.002, 151.0, -0.1953125)
     assert dt[0] == 0.0 and (np.diff(dt) > 0).all()
+
+
+def test_dt_factor_list_properties():
+    """D5: factor(0)==1, powers of two, nondecreasing in DM, and grows
+    once channel smearing dominates the sample time."""
+    import numpy as np
+    dml = np.array([0.0, 5.0, 10.0, 20.0, 40.0, 80.0, 160.0],
+                   dtype=np.float32)
+    f = P.dt_factor_list(dml, 0.00049152, 4.0, 151.0, -0.1953125, 128, 1.25)
+    assert f[0] == 1
+    assert all(x & (x - 1) == 0 for x in f)          # powers of two
+    assert all(f[i] <= f[i + 1] for i in range(len(f) - 1))
+    assert f[-1] > 1                                  # big DM => scrunched
+
+
+def test_scrunch_series_matches_decimate_arithmetic():
+    import numpy as np
+    from dragnet_spark.kernels import scrunch_series
+    rng = np.random.default_rng(7)
+    out = rng.random((3, 100), dtype=np.float32)
+    factors = np.array([1, 2, 4], dtype=np.int64)
+    s = scrunch_series(out, factors)
+    assert [len(x) for x in s] == [100, 50, 25]
+    assert np.array_equal(s[0], out[0])
+    g = out[1][:100].reshape(-1, 2)
+    expect = (g.sum(axis=1, dtype=np.float32) / np.float32(2))
+    assert np.array_equal(s[1], expect)
