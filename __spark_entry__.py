@@ -56,7 +56,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only check; full correctness is pytest span-equality vs the
     # NumPy oracle (tests/test_extractor.py).
     out["dedisperse_tiny"] = lambda spark, sf_dir: _flagship_rows(spark)
+    out["dedisperse_skew_chunked"] = _skew_chunked_rows
     return out
+
+
+def _skew_chunked_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Giant-document skew path: halo-extended chunking + salting +
+    JVM reassembly (rows-only check; bit-equality vs the per-document
+    path is pytest-verified in tests/test_extractor.py)."""
+    from dragnet_spark.generate import make_corpus, scenario_configs
+    from dragnet_spark.pipeline import docs_to_df, run_pipeline_chunked
+
+    docs = docs_to_df(spark, make_corpus("skew"))
+    rows = run_pipeline_chunked(docs, scenario_configs("skew")["s0"], None)
+    return (rows.where(F.col("kind") != "metrics")
+            .select("doc_id", "seq", "kind",
+                    F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+                     .alias("text_sha256"),
+                    "media_ref", "offset"))
 
 
 def oracle_sql() -> dict[str, str]:
