@@ -191,11 +191,14 @@ def driver_bench() -> None:
                      "user_id long, event_type string, value double, "
                      "props string").count()
 
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]  # kill bench
 
     # Flagship at bench scale (1024 docs, 1 GiB raw spectra).
     for _ in range(2):  # warm-up (JIT of generated code, Arrow paths)
@@ -212,6 +215,7 @@ def driver_bench() -> None:
         "sf": sf,
         "flagship_docs_per_sec": round(ndocs / fl, 1),
         "cores": cores,
+        **({"errors": errors} if errors else {}),
     }))
 
 
