@@ -136,20 +136,11 @@ def write_corpus_parquet_spark(spark, corpus: str, path: str,
     :func:`make_document` regardless of partitioning."""
     import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
-                                   StructField, StructType)
+
+    from .pipeline import DOCS_SCHEMA as schema
 
     ndocs = CORPORA[corpus][0]
     nparts = partitions or spark.sparkContext.defaultParallelism
-    schema = StructType([
-        StructField("doc_id", StringType(), False),
-        StructField("spans", ArrayType(StructType([
-            StructField("kind", StringType(), False),
-            StructField("text", StringType(), True),
-            StructField("media_ref", StringType(), True),
-            StructField("offset", IntegerType(), True),
-        ])), False),
-    ])
 
     def gen(batches):
         for pdf in batches:

@@ -12,6 +12,7 @@ Transcribes the reference's fixed C structs and option parsing:
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field, asdict
 
 
@@ -133,12 +134,21 @@ class MaskSpec:
 
 
 def _parse_c_int(tok: str) -> int:
-    """sscanf %i semantics (``range_parse.c:112``): base prefixes honoured."""
+    """sscanf %i semantics (``range_parse.c:112``): base prefixes
+    honoured, and — like C — the LONGEST VALID PREFIX is parsed rather
+    than the whole token ('08' -> 0 via the octal prefix, '0x' -> 0)."""
     tok = tok.strip()
-    try:
-        return int(tok, 0)
-    except ValueError:
-        return int(tok, 10)
+    m = re.match(r"([+-]?)(0[xX][0-9a-fA-F]+|0[0-7]*|[1-9][0-9]*)", tok)
+    if not m:
+        raise ValueError(f"no integer prefix in {tok!r}")
+    sign, body = m.group(1), m.group(2)
+    if body[:2].lower() == "0x":
+        val = int(body, 16)
+    elif body.startswith("0") and len(body) > 1:
+        val = int(body, 8)                   # C legacy octal
+    else:
+        val = int(body, 10)
+    return -val if sign == "-" else val
 
 
 def parse_ranges(s: str, defmin: int, defmax: int,

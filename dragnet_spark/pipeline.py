@@ -26,6 +26,7 @@ from __future__ import annotations
 import base64
 import json
 import time
+from pathlib import Path
 from collections.abc import Iterator
 
 import numpy as np
@@ -290,6 +291,7 @@ def run_pipeline_chunked(df: DataFrame, cfg: RunConfig,
             rows = []
             for r in pdf.itertuples(index=False):
                 t0 = time.perf_counter()
+                n_rows_before = len(rows)
                 doc_plan = _cached_plan(r.header, cfg_l, mask_l)
                 h = doc_plan.header
                 data = np.frombuffer(r.payload, dtype=np.uint8).reshape(
@@ -339,7 +341,10 @@ def run_pipeline_chunked(df: DataFrame, cfg: RunConfig,
                             "kind": "media", "text": m.get("text", ""),
                             "media_ref": m["media_ref"],
                             "offset": int(m["offset"])})
-                mrow = _metrics_row(r.doc_id, metrics, out.shape[0],
+                # n_spans_out: spans emitted for this chunk (matches
+                # the per-document path's len(spans) semantics).
+                n_emitted = len(rows) - n_rows_before
+                mrow = _metrics_row(r.doc_id, metrics, n_emitted,
                                     (time.perf_counter() - t0) * 1e3,
                                     run_id, cfg_l, int(r.chunk_id),
                                     int(r.n_chunks))
@@ -454,6 +459,10 @@ def run_job(spark: SparkSession, docs: DataFrame | str, cfg: RunConfig,
         rows = runner(docs, cfg, mask, run_id=run_id,
                       parallelism=parallelism)
         rows.write.mode("append").parquet(spans_path)
+    elif n_input == 0 and not Path(f"{spans_path}/_SUCCESS").exists():
+        # Nothing ever written for this out_dir: return cleanly instead
+        # of crashing on the missing spans path below.
+        return {"n_input": 0, "n_skipped": n_skipped, "n_processed": 0}
 
     # Derived checkpoint table (FIXTURES.md §5) from the written metrics
     # rows — reads only matching row groups via parquet predicate pushdown.

@@ -62,7 +62,8 @@ def optimal_dm_list(dm_start: float, dm_end: float, dt: float, ti: float,
     float32, matching dedisp ("computation done in double precision").
     """
     dt_us = dt * 1e6
-    f = (f0 + ((nchans / 2) - 0.5) * df) * 1e-3          # band-centre, GHz
+    # NB (nchans // 2): dedisp's C `nchans/2` is integer division.
+    f = (f0 + ((nchans // 2) - 0.5) * df) * 1e-3         # band-centre, GHz
     tol2 = tol * tol
     a = 8.3 * df / (f * f * f)                           # us smear / (DM unit)
     a2 = a * a
@@ -93,7 +94,7 @@ def dt_factor_list(dmlist: np.ndarray, dt: float, ti: float, f0: float,
     factors are nondecreasing in DM.
     """
     dt_us = dt * 1e6
-    f = (f0 + ((nchans / 2) - 0.5) * df) * 1e-3
+    f = (f0 + ((nchans // 2) - 0.5) * df) * 1e-3   # C integer division
     a = 8.3 * df / (f * f * f)
     out = np.ones(len(dmlist), dtype=np.int64)
     for i, d in enumerate(np.asarray(dmlist, dtype=np.float64)):

@@ -284,8 +284,7 @@ def q_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     arr = F.split(F.col("text"), " ")
     return (d.select("lang", arr.alias("w"))
-            .select("lang", F.size("w").alias("nw"),
-                    F.explode("w").alias("tok"))
+            .select("lang", F.explode("w").alias("tok"))
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("total_tokens"),
                  F.countDistinct("tok").alias("distinct_tokens")))
@@ -329,23 +328,10 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_embedding_sign_lsh(spark, sf_dir):
     """Sign-LSH bucketing (the IVF-style scale path for ANN): 8
     deterministic rational hyperplanes h_i[j] = ((i*64+j)*37 % 101)/101
-    - 0.5; bucket = sum_i 2^i * [dot(e, h_i) > 0]."""
+    - 0.5; bucket = sum_i 2^i * [dot(e, h_i) > 0] (shared with
+    q_ann_ivf_topk via _lsh_bucket)."""
     e = _t(spark, sf_dir, "embeddings")
-
-    def hyperplane(i: int):
-        # NB: a two-arg lambda in F.transform means (element, index) —
-        # capture i via a closure factory, not a default argument.
-        def f(j):
-            return (((j + F.lit(i * 64)) * 37 % 101).cast("double")
-                    / 101.0 - 0.5)
-        return F.transform(F.sequence(F.lit(0), F.lit(63)), f)
-
-    bucket = F.lit(0).cast("bigint")
-    for i in range(8):
-        bucket = bucket + F.when(
-            _dot(F.col("embedding"), hyperplane(i)) > 0.0,
-            F.lit(2 ** i)).otherwise(F.lit(0))
-    return (e.select(bucket.alias("bucket"))
+    return (e.select(_lsh_bucket(8).alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs")))
 
 
@@ -533,20 +519,29 @@ def q_embedding_near_dup(spark, sf_dir):
     bc = spark.sparkContext.broadcast((ids_all, mat_all, norm_all))
 
     def fn(batches):
+        # PREFILTER only (margin below the threshold): the BLAS matmul
+        # reduction order differs from the oracle's sequential fold by
+        # ~1 ulp, so final values are recomputed below with the exact
+        # pinned operation order.
         aids, amat, anorm = bc.value
         for pdf in batches:
             bids = pdf["vec_id"].to_numpy(np.int64)
             bmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             bnorm = np.sqrt((bmat * bmat).sum(axis=1))
             sims = (bmat @ amat.T) / (bnorm[:, None] * anorm[None, :])
-            ia, ib = np.nonzero((sims >= 0.45)
+            ia, ib = np.nonzero((sims >= 0.45 - 1e-9)
                                 & (bids[:, None] < aids[None, :]))
-            yield pd.DataFrame({"vec_a": bids[ia], "vec_b": aids[ib],
-                                "cos_raw": sims[ia, ib]})
+            yield pd.DataFrame({"vec_a": bids[ia], "vec_b": aids[ib]})
 
-    out = e.mapInPandas(fn, "vec_a long, vec_b long, cos_raw double")
-    return out.select("vec_a", "vec_b",
-                      F.round("cos_raw", 6).alias("cos_sim"))
+    cand = F.broadcast(e.mapInPandas(fn, "vec_a long, vec_b long"))
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").cast("array<double>").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").cast("array<double>").alias("eb"))
+    cos = _cosine(F.col("ea"), F.col("eb"))   # sequential fold = oracle
+    return (cand.join(a, "vec_a").join(b, "vec_b")
+            .where(cos >= 0.45)
+            .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")))
 
 
 def _lsh_bucket(nbits: int):

@@ -70,7 +70,8 @@ def decode_document(spans: list[dict]) -> tuple[Header, np.ndarray, list[dict]]:
     for s in spans:
         kind = s["kind"]
         if kind == "header":
-            header = Header.from_json(s["text"])
+            if header is None:          # first header wins (= pipeline's
+                header = Header.from_json(s["text"])  # element_at(..., 1))
         elif kind == "sample":
             strips.append((int(s["offset"]), base64.b64decode(s["text"])))
         elif kind == "media":
@@ -90,13 +91,6 @@ def decode_document(spans: list[dict]) -> tuple[Header, np.ndarray, list[dict]]:
         raise ValueError(
             f"sample strips cover {data.shape[0]} != header nsamp {header.nsamp}")
     return header, data, media
-
-
-def decode_strips(strip_texts: list[str], nchan: int) -> np.ndarray:
-    """Decode pre-sorted base64 strips into a uint8 (T, nchan) matrix —
-    the fast path used by the Spark UDF after JVM-side sorting."""
-    raw = b"".join(base64.b64decode(t) for t in strip_texts)
-    return np.frombuffer(raw, dtype=np.uint8).reshape(-1, nchan)
 
 
 # --------------------------------------------------------------------------
