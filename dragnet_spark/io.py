@@ -60,6 +60,12 @@ def write_documents(df: DataFrame, sink: str, mode: str = "append") -> None:
     parquet path."""
     if sink.startswith(TABLE_PREFIX):
         name = sink[len(TABLE_PREFIX):]
+        if not iceberg_available(df.sparkSession) and "." in name:
+            raise RuntimeError(
+                f"catalog table {name!r} requested but no Iceberg runtime "
+                "is on the classpath; add the iceberg-spark-runtime jar "
+                "and the spark.sql.catalog.* config (see dragnet_spark/io.py)"
+                " or pass a parquet path")
         if mode == "overwrite":
             df.writeTo(name).createOrReplace()
         else:

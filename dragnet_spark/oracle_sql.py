@@ -343,10 +343,10 @@ GROUP BY lang
 
 ORACLE_SQL["rolling_fingerprint"] = """
 SELECT doc_id,
-       list_sum(list_transform(range(len(string_split(text, ' '))),
+       (list_sum(list_transform(range(len(string_split(text, ' '))),
            i -> ('0x' || substr(md5(string_split(text, ' ')[i+1]), 1, 8))
                     ::BIGINT
-                * (1 + (i * 31) % 97))) % 1000000007 AS rolling_fp
+                * (1 + (i * 31) % 97))) % 1000000007)::BIGINT AS rolling_fp
 FROM documents
 """
 
