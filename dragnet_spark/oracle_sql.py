@@ -350,19 +350,38 @@ SELECT doc_id,
 FROM documents
 """
 
-ORACLE_SQL["embedding_near_dup"] = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND {ab} / (SQRT({aa}) * SQRT({bb})) >= 0.45
-""".format(ab=_DOTSQL.format(a="a.embedding", b="b.embedding"),
-           aa=_DOTSQL.format(a="a.embedding", b="a.embedding"),
-           bb=_DOTSQL.format(a="b.embedding", b="b.embedding"))
-
 _LSH_BIT = ("CASE WHEN list_sum(list_transform(range(64), "
             "j -> embedding[j+1] * (CAST((j + {off}) * 37 % 101 AS DOUBLE)"
             " / 101.0 - 0.5))) > 0 THEN {w} ELSE 0 END")
+
+
+def _nd_band_bucket(band: int) -> str:
+    """8-bit sign bucket of near-dup band ``band`` (hyperplanes
+    band*8..band*8+7), mirroring queries._band_bucket."""
+    return "CAST(" + " + ".join(
+        _LSH_BIT.format(off=(band * 8 + k) * 64, w=2 ** k)
+        for k in range(8)) + " AS BIGINT)"
+
+
+ORACLE_SQL["embedding_near_dup"] = ("""
+WITH bands AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {b} AS band, {_nd_band_bucket(b)} AS v FROM embeddings"
+    for b in range(4)) + """
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.v = c.v AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b,
+       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
+FROM cand
+JOIN embeddings ea ON vec_a = ea.vec_id
+JOIN embeddings eb ON vec_b = eb.vec_id
+WHERE {ab} / (SQRT({aa}) * SQRT({bb})) >= 0.45
+""").format(ab=_DOTSQL.format(a="ea.embedding", b="eb.embedding"),
+            aa=_DOTSQL.format(a="ea.embedding", b="ea.embedding"),
+            bb=_DOTSQL.format(a="eb.embedding", b="eb.embedding"))
 
 ORACLE_SQL["embedding_sign_lsh"] = """
 SELECT bucket, COUNT(*) AS n_vecs FROM (

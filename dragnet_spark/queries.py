@@ -212,10 +212,9 @@ def _minhash_df(spark, sf_dir):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH near-dup candidates: shingle -> 8 minhashes ->
-    4 bands of 2 -> bucket self-join -> distinct candidate pairs."""
-    mh = _minhash_df(spark, sf_dir)
+def _lsh_candidate_pairs(mh: DataFrame) -> DataFrame:
+    """Banded bucket self-join over a minhash DataFrame -> distinct
+    candidate pairs (doc_a < doc_b)."""
     bands = None
     for b in range(_N_BANDS):
         part = mh.select(
@@ -232,17 +231,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             .distinct())
 
 
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup candidates: shingle -> 8 minhashes ->
+    4 bands of 2 -> bucket self-join -> distinct candidate pairs."""
+    return _lsh_candidate_pairs(_minhash_df(spark, sf_dir))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     """Exact 3-shingle Jaccard >= 0.5 over the LSH candidate pairs:
-    |A ^ B| via a shingle equi-join, |A u B| = |A|+|B|-|A ^ B|."""
+    |A ^ B| via a shingle equi-join, |A u B| = |A|+|B|-|A ^ B|.
+
+    Scale shape: everything stays distributed.  The shingle set and the
+    minhash table are persisted because the plan references them
+    multiple times (candidate self-join + two semi-joins + sizes); the
+    candidate set itself is left to AQE, which broadcasts it at runtime
+    when it is small — no driver-side collect anywhere."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles()).alias("s")).distinct()
+    sh = (d.select("doc_id", F.explode(_shingles()).alias("s"))
+          .distinct().persist())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # Materialize the (small) candidate set once: both joins below would
-    # otherwise recompute the whole minhash lineage.
-    cand_rows = q_dedup_minhash_lsh(spark, sf_dir).collect()
-    cand = F.broadcast(spark.createDataFrame(
-        cand_rows, "doc_a bigint, doc_b bigint"))
+    mh = _minhash_df(spark, sf_dir).persist()
+    cand = _lsh_candidate_pairs(mh)
     common = (cand
               .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
               .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id"))
@@ -501,45 +510,61 @@ def _cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _hyperplane(i: int):
+    """Deterministic rational hyperplane i: element j =
+    ((j + i*64)*37 % 101)/101 - 0.5 (shared by every sign-LSH query)."""
+    def f(j):
+        return (((j + F.lit(i * 64)) * 37 % 101).cast("double")
+                / 101.0 - 0.5)
+    return F.transform(F.sequence(F.lit(0), F.lit(63)), f)
+
+
+# Banded sign-LSH geometry for embedding near-dup candidates: pair
+# (a, b) is a candidate iff all 8 sign bits of SOME band agree.  More
+# bands => higher recall; bits/band => bucket selectivity.
+_ND_BANDS = 4
+_ND_BITS = 8
+
+
+def _band_bucket(band: int):
+    """8-bit sign bucket of band ``band`` (hyperplanes band*8 .. band*8+7)."""
+    bucket = F.lit(0).cast("bigint")
+    for k in range(_ND_BITS):
+        bucket = bucket + F.when(
+            _dot(F.col("embedding"), _hyperplane(band * _ND_BITS + k)) > 0.0,
+            F.lit(2 ** k)).otherwise(F.lit(0))
+    return bucket
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact baseline): all pairs
-    with cosine >= 0.45, block x broadcast-matrix NumPy (each Arrow
-    batch does one BLAS matmul against the broadcast corpus — ~40x
-    faster than the expression-tree self-join).  Quadratic by
-    construction — the scale path is the sign-LSH bucketing
-    (q_embedding_sign_lsh/q_ann_ivf_topk)."""
-    import numpy as np
-    import pandas as pd
-
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    path): candidates = vectors colliding in any of 4 independent 8-bit
+    sign-LSH bands; exact pinned-order cosine >= 0.45 only on candidate
+    pairs.  Fully distributed — the self-join is per (band, bucket), so
+    at 100 TB each task touches one bucket's vectors, never the corpus
+    (the brute-force exact baseline is q_ann_cosine_topk's pattern;
+    banded-LSH recall rises with the band count and is part of the
+    operator's definition — the oracle computes identical candidates)."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    all_pdf = e.toPandas()
-    ids_all = all_pdf["vec_id"].to_numpy(np.int64)
-    mat_all = np.array(all_pdf["embedding"].tolist(), dtype=np.float64)
-    norm_all = np.sqrt((mat_all * mat_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, mat_all, norm_all))
-
-    def fn(batches):
-        # PREFILTER only (margin below the threshold): the BLAS matmul
-        # reduction order differs from the oracle's sequential fold by
-        # ~1 ulp, so final values are recomputed below with the exact
-        # pinned operation order.
-        aids, amat, anorm = bc.value
-        for pdf in batches:
-            bids = pdf["vec_id"].to_numpy(np.int64)
-            bmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            bnorm = np.sqrt((bmat * bmat).sum(axis=1))
-            sims = (bmat @ amat.T) / (bnorm[:, None] * anorm[None, :])
-            ia, ib = np.nonzero((sims >= 0.45 - 1e-9)
-                                & (bids[:, None] < aids[None, :]))
-            yield pd.DataFrame({"vec_a": bids[ia], "vec_b": aids[ib]})
-
-    cand = F.broadcast(e.mapInPandas(fn, "vec_a long, vec_b long"))
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").cast("array<double>").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").cast("array<double>").alias("eb"))
+    bands = None
+    for b in range(_ND_BANDS):
+        part = e.select("vec_id", F.lit(b).alias("band"),
+                        _band_bucket(b).alias("v"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (a.join(c, (F.col("a.band") == F.col("c.band"))
+                   & (F.col("a.v") == F.col("c.v"))
+                   & (F.col("a.vec_id") < F.col("c.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("c.vec_id").alias("vec_b"))
+            .distinct())
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").cast("array<double>").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").cast("array<double>").alias("eb"))
     cos = _cosine(F.col("ea"), F.col("eb"))   # sequential fold = oracle
-    return (cand.join(a, "vec_a").join(b, "vec_b")
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
             .where(cos >= 0.45)
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")))
 
@@ -547,16 +572,10 @@ def q_embedding_near_dup(spark, sf_dir):
 def _lsh_bucket(nbits: int):
     """Sign-LSH bucket over the first nbits deterministic hyperplanes
     (same planes as q_embedding_sign_lsh)."""
-    def hyperplane(i: int):
-        def f(j):
-            return (((j + F.lit(i * 64)) * 37 % 101).cast("double")
-                    / 101.0 - 0.5)
-        return F.transform(F.sequence(F.lit(0), F.lit(63)), f)
-
     bucket = F.lit(0).cast("bigint")
     for i in range(nbits):
         bucket = bucket + F.when(
-            _dot(F.col("embedding"), hyperplane(i)) > 0.0,
+            _dot(F.col("embedding"), _hyperplane(i)) > 0.0,
             F.lit(2 ** i)).otherwise(F.lit(0))
     return bucket
 
