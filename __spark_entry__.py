@@ -48,37 +48,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the
-    training-data operator suite; see dragnet_spark/queries.py."""
+    training-data operator suite (dragnet_spark/queries.py) and the two
+    flagship dedispersion entries, now DuckDB-checkable via the
+    band-join identity (dragnet_spark/flagship_oracle.py)."""
+    from dragnet_spark.flagship_oracle import FLAGSHIP_QUERIES
     from dragnet_spark.queries import QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
-    # Flagship (non-SQL-expressible: full dedispersion block loop) —
-    # rows-only check; full correctness is pytest span-equality vs the
-    # NumPy oracle (tests/test_extractor.py).
-    out["dedisperse_tiny"] = lambda spark, sf_dir: _flagship_rows(spark)
-    out["dedisperse_skew_chunked"] = _skew_chunked_rows
+    out.update(FLAGSHIP_QUERIES)
     return out
 
 
-def _skew_chunked_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Giant-document skew path: halo-extended chunking + salting +
-    JVM reassembly (rows-only check; bit-equality vs the per-document
-    path is pytest-verified in tests/test_extractor.py)."""
-    from dragnet_spark.generate import make_corpus, scenario_configs
-    from dragnet_spark.pipeline import docs_to_df, run_pipeline_chunked
-
-    docs = docs_to_df(spark, make_corpus("skew"))
-    rows = run_pipeline_chunked(docs, scenario_configs("skew")["s0"], None)
-    return (rows.where(F.col("kind") != "metrics")
-            .select("doc_id", "seq", "kind",
-                    F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
-                     .alias("text_sha256"),
-                    "media_ref", "offset"))
-
-
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL for each SQL-expressible query —
-    see dragnet_spark/oracle_sql.py for the determinism rules."""
+    """DuckDB-runnable ANSI SQL for each query — see
+    dragnet_spark/oracle_sql.py for the determinism rules and
+    dragnet_spark/flagship_oracle.py for the flagship band-join
+    oracles (which export their sample decomposition on build)."""
+    from dragnet_spark.flagship_oracle import flagship_oracle_sql
     from dragnet_spark.oracle_sql import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    out.update(flagship_oracle_sql())
+    return out

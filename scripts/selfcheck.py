@@ -15,9 +15,11 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
-from dragnet_spark.oracle_sql import ORACLE_SQL  # noqa: E402
-from dragnet_spark.queries import QUERIES  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
 from dragnet_spark.session import get_spark  # noqa: E402
+
+QUERIES = entry_mod.queries()
+ORACLE_SQL = entry_mod.oracle_sql()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
