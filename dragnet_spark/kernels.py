@@ -356,6 +356,17 @@ def compute_sk_mask(z: np.ndarray, my: int, m: int, nd: float,
             if cells.size == 0:
                 continue
             unmasked = ~row
+            if cells.size == nx and mact_j > 0:
+                # Fully-masked interval fast path: every cell has empty
+                # side lists, so each gets the identical fill
+                # s1/s2 = 0.0 / (-2*mact) = -0.0 (skz.c:521-547 with
+                # both sides empty) — one vectorized write instead of
+                # nx * mact Python-loop iterations.  The degenerate
+                # mostly-masked corpus is exactly where the per-cell
+                # loop below would blow up (O(nmask * nx)).
+                z[j * m:j * m + mact_j, :] = np.float32(
+                    0.0 / (-2.0 * mact_j))
+                continue
             for i in cells:
                 if mact_j == 0:
                     continue                      # tail interval: no fill

@@ -373,3 +373,18 @@ def test_scrunch_series_matches_decimate_arithmetic():
     g = out[1][:100].reshape(-1, 2)
     expect = (g.sum(axis=1, dtype=np.float32) / np.float32(2))
     assert np.array_equal(s[1], expect)
+
+
+def test_sk_fill_fully_masked_fast_path_bitexact():
+    """Fully-masked interval fast path (kernels.py): the vectorized
+    whole-row write must reproduce the per-cell C semantics exactly —
+    with both side lists empty, s1=0 and s2=-2*mact, so every cell
+    fills with 0.0/(-2*mact) = -0.0 (sign of zero included)."""
+    ny, nx, m = 32, 8, 8
+    my = ny // m
+    z = np.full((ny, nx), 30.0, dtype=np.float32)  # constant => sk=0 => masked
+    nmask, mask = K.compute_sk_mask(z, my, m, 12.0, 0.8, 1.2)
+    assert nmask == my * nx and mask.all()
+    expect = np.float32(0.0 / (-2.0 * m))
+    assert np.all(z == expect)
+    assert np.all(np.signbit(z))      # bit-exact: the fill is MINUS zero
