@@ -1,0 +1,223 @@
+"""LOFAR beamformed-HDF5 metadata reader (S7) + blocked read with
+channel reversal (S8).
+
+Transcribes ``lofarhdf5.cxx:27-341``.  The reference walks the DAL
+class tree (BF_File -> SAP -> BeamGroup -> StokesDataset); the same
+information lives in the file as plain HDF5 groups/attributes with the
+public LOFAR ICD003 names, which is what this module reads:
+
+==========================  =======================================
+DAL accessor (reference)     HDF5 location (ICD003)
+==========================  =======================================
+observationNofSubArrayPointings  /@OBSERVATION_NOF_SUB_ARRAY_POINTINGS
+subArrayPointing(i)          /SUB_ARRAY_POINTING_{i:03d}
+sap.observationNofBeams      SAP@OBSERVATION_NOF_BEAMS
+sap.beam(j)                  SAP/BEAM_{j:03d}
+beam.stokes(k)               BEAM/STOKES_{k}
+beam.targets                 BEAM@TARGETS
+beam.complexVoltage          BEAM@COMPLEX_VOLTAGE
+beam.observationNofStokes    BEAM@OBSERVATION_NOF_STOKES
+beam.beamFrequencyCenter     BEAM@BEAM_FREQUENCY_CENTER   (MHz)
+beam.samplingTime            BEAM@SAMPLING_TIME           (s)
+beam.channelWidth            BEAM@CHANNEL_WIDTH           (Hz)
+beam.pointRA / pointDEC      BEAM@POINT_RA / POINT_DEC    (deg)
+beam.coordinates             BEAM/COORDINATES@COORDINATE_TYPES
+fd.observationStartMJD       /@OBSERVATION_START_MJD
+stokes.nofSamples            STOKES@NOF_SAMPLES
+stokes.dims()                STOKES dataset shape
+==========================  =======================================
+
+The reader is written against the minimal mapping protocol
+(``node["child"]``, ``"child" in node``, ``node.attrs``, dataset
+``.shape``/slicing) so the logic is fully unit-testable with a
+dict-backed fake; :func:`open_bf_file` binds it to a real file via
+h5py behind an import guard (h5py is not in this sandbox).
+
+Faithfully-transcribed reference quirks (test-pinned):
+
+* ``fch1 = cfreq + bw_file/2 - fabs(foff * 1e-6)/2``
+  (``lofarhdf5.cxx:274-275``) — ``foff`` is ALREADY in MHz at that
+  point, so the intended half-channel correction is scaled by 1e-6
+  twice and is effectively zero.  Transcribed literally.
+* RA/DEC packing to sexagesimal doubles happens INSIDE the verbose
+  branch (``lofarhdf5.cxx:281-306``): a non-verbose open leaves
+  ``src_raj``/``src_dej`` at their defaults.
+* telescope_id/machine_id hardwired to 11/11 ("assuming LOFAR /
+  COBALT", ``lofarhdf5.cxx:155-160``); nbit=32, nbeam=1, ibeam=0.
+* channel order: LOFAR stores lowest frequency first; every read
+  block is reversed per time sample to SIGPROC high-first order
+  (``lofarhdf5.cxx:325-335``) — the same reversal the span codec's
+  ``chan_order='low'`` tag triggers in the pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .params import Header
+
+
+class LofarFormatError(ValueError):
+    """Required attribute/group missing (the reference's `return 1`)."""
+
+
+def _attr(node, name, default=None):
+    return node.attrs.get(name, default)
+
+
+def _require(node, name, ctx):
+    val = node.attrs.get(name)
+    if val is None:
+        raise LofarFormatError(f"{ctx}.{name} not defined")
+    return val
+
+
+def _first_existing(parent, fmt: str, count: int, ctx: str):
+    for i in range(int(count)):
+        name = fmt.format(i)
+        if name in parent:
+            return parent[name]
+    raise LofarFormatError(f"no existing {ctx} group under {fmt!r}")
+
+
+def header_from_bf(root, verbose: bool = True) -> tuple[Header, object]:
+    """Walk the BF file tree and build the :class:`Header`, mirroring
+    ``HDF5::open`` (``lofarhdf5.cxx:27-309``).  Returns (header, stokes
+    dataset node).  ``root`` is any mapping-protocol node (h5py File or
+    a test fake)."""
+    h = Header()
+
+    nsap = _require(root, "OBSERVATION_NOF_SUB_ARRAY_POINTINGS", "file")
+    sap = _first_existing(root, "SUB_ARRAY_POINTING_{0:03d}", nsap, "SAP")
+    nbeam = _require(sap, "OBSERVATION_NOF_BEAMS", "sap")
+    beam = _first_existing(sap, "BEAM_{0:03d}", nbeam, "beam")
+
+    # last existing STOKES_{0..3} wins (the reference's loop keeps
+    # overwriting the pointer, lofarhdf5.cxx:115-120)
+    stokes = None
+    for i in range(4):
+        if f"STOKES_{i}" in beam:
+            stokes = beam[f"STOKES_{i}"]
+    if stokes is None:
+        raise LofarFormatError("no STOKES dataset in beam")
+
+    h.telescope_id = 11                    # lofarhdf5.cxx:156 (LOFAR)
+    h.machine_id = 11                      # lofarhdf5.cxx:160 (Cobalt)
+
+    targets = _attr(beam, "TARGETS")
+    if targets is not None and len(targets):
+        t0 = targets[0]
+        h.source_name = t0.decode() if isinstance(t0, bytes) else str(t0)
+
+    nsamp = _attr(stokes, "NOF_SAMPLES")
+    if nsamp is not None:
+        h.nsamp = int(nsamp)
+
+    volts = _attr(beam, "COMPLEX_VOLTAGE")
+    if volts is not None and int(volts) == 1:     # lofarhdf5.cxx:177-181
+        raise LofarFormatError("Can't process complex-voltage data")
+
+    # Spectral dimension from the coordinates group (default 1)
+    spectral_dim = 1
+    if "COORDINATES" in beam:
+        types = _attr(beam["COORDINATES"], "COORDINATE_TYPES")
+        if types is not None:
+            for i, t in enumerate(types):
+                name = t.decode() if isinstance(t, bytes) else str(t)
+                if name == "Spectral":
+                    spectral_dim = i
+                    break
+    h.nchan = int(stokes.shape[spectral_dim])
+
+    npol = _attr(beam, "OBSERVATION_NOF_STOKES")
+    if npol is not None and int(npol) != 1:       # lofarhdf5.cxx:208-218
+        raise LofarFormatError("Can't process more than one IFs")
+    h.nif = 1
+    h.nbit = 32                                    # lofarhdf5.cxx:220
+    h.nbeam = 1
+    h.ibeam = 0
+
+    cfreq = _require(beam, "BEAM_FREQUENCY_CENTER", "beam")   # MHz
+
+    mjd = _attr(root, "OBSERVATION_START_MJD")
+    if mjd is not None:
+        h.tstart = float(mjd)
+
+    stime = _attr(beam, "SAMPLING_TIME")
+    if stime is not None:
+        h.tsamp = float(stime)
+
+    rate = _require(beam, "CHANNEL_WIDTH", "beam")            # Hz
+    h.foff = -1.0 * float(rate) * 1.0e-6          # negative, MHz
+
+    # fch1 (lofarhdf5.cxx:273-275) — transcribed LITERALLY including
+    # the double 1e-6 scaling of the half-channel term (foff is already
+    # MHz, so the correction is ~0; see module docstring).
+    bw_file = h.nchan * float(rate) * 1.0e-6
+    h.fch1 = float(cfreq) + bw_file / 2.0 - abs(h.foff * 1.0e-6) / 2.0
+
+    if verbose:
+        # RA/DEC deg -> packed sexagesimal, only under verbose —
+        # faithful to lofarhdf5.cxx:281-306 (sprintf/sscanf round-trip
+        # replaced by the identical arithmetic + float() parse).
+        radeg = _attr(beam, "POINT_RA")
+        if radeg is not None:
+            radeg = float(radeg)
+            ra_h = int(radeg / 15.0)
+            ra_m = int((radeg / 15.0 - ra_h) * 60.0)
+            ra_s = (radeg / 15.0 - ra_h - ra_m / 60.0) * 3600.0
+            h.src_raj = float("%02d%02d%s%f"
+                              % (ra_h, ra_m, "0" if ra_s < 10 else "", ra_s))
+        decdeg = _attr(beam, "POINT_DEC")
+        if decdeg is not None:
+            decdeg = float(decdeg)
+            dec_d = int(abs(decdeg))
+            dec_m = int((abs(decdeg) - dec_d) * 60.0)
+            dec_s = (abs(decdeg) - dec_d - dec_m / 60.0) * 3600.0
+            if int(decdeg) < 0:
+                dec_d = -dec_d
+            h.src_dej = float("%02d%02d%s%f"
+                              % (dec_d, dec_m, "0" if dec_s < 10 else "",
+                                 dec_s))
+
+    # channel layout tag for the span codec: LOFAR stores lowest-first
+    h.chan_order = "low"
+    return h, stokes
+
+
+class LofarReader:
+    """Blocked read with overlap + channel reversal — ``HDF5::read``
+    (``lofarhdf5.cxx:313-341``): returns float32 blocks in SIGPROC
+    high-first channel order."""
+
+    def __init__(self, root, verbose: bool = True):
+        self.header, self._stokes = header_from_bf(root, verbose)
+        self.current_sample = 0
+
+    def read(self, nsamples: int, shift_back: int) -> tuple[np.ndarray, int]:
+        h = self.header
+        read_samples = (h.nsamp - self.current_sample
+                        if self.current_sample + nsamples > h.nsamp
+                        else nsamples)
+        block = np.asarray(
+            self._stokes[self.current_sample:
+                         self.current_sample + read_samples, :],
+            dtype=np.float32)
+        block = block[:, ::-1]          # low-first -> high-first
+        self.current_sample += read_samples - shift_back
+        return block, read_samples - shift_back
+
+
+def open_bf_file(path: str, verbose: bool = True) -> "LofarReader":
+    """Open a real ``.h5`` BF file.  Guarded: h5py is not shipped in
+    this sandbox; the walk/derivation logic above is fully exercised by
+    the dict-backed fake in tests/test_lofar_hdf5.py."""
+    try:
+        import h5py
+    except ImportError as exc:
+        raise RuntimeError(
+            "h5py is required to read LOFAR HDF5 files; it is not "
+            "installed in this environment.  The metadata derivation is "
+            "test-covered via a fake; install h5py to use real files."
+        ) from exc
+    return LofarReader(h5py.File(path, "r"), verbose=verbose)
