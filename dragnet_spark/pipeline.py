@@ -71,6 +71,20 @@ SPAN_ROW_SCHEMA = StructType([
     StructField("offset", IntegerType(), True),
 ])
 
+# Internal mapInPandas output: timeseries rows carry raw bytes in
+# ``payload`` (text NULL); the JVM projects the canonical base64 text.
+# 25% fewer bytes over the Python->JVM Arrow socket — the measured
+# scale bottleneck on many-core hosts (BENCH/BASELINE.md caveat).
+_RAW_SPAN_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("seq", IntegerType(), False),
+    StructField("kind", StringType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("text", StringType(), True),
+    StructField("media_ref", StringType(), True),
+    StructField("offset", IntegerType(), True),
+])
+
 _CHUNK_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
     StructField("chunk_id", IntegerType(), False),
@@ -201,15 +215,30 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
                     nsamp_dec=plan.nsamp_dec, tsamp_dec=plan.tsamp_dec,
                     max_delay=plan.max_delay, prefix=cfg_l.prefix,
                     media=_media_list(media_json),
-                    dt_factors=plan.dt_factors if cfg_l.use_dt else None)
+                    dt_factors=plan.dt_factors if cfg_l.use_dt else None,
+                    raw_series=True)
                 for i, s in enumerate(spans):
-                    rows.append({"doc_id": doc_id, "seq": i, **s})
-                rows.append(_metrics_row(
+                    rows.append({"doc_id": doc_id, "seq": i,
+                                 "payload": s.get("payload"), "kind": s["kind"],
+                                 "text": s["text"], "media_ref": s["media_ref"],
+                                 "offset": s["offset"]})
+                rows.append({**_metrics_row(
                     doc_id, metrics, len(spans),
-                    (time.perf_counter() - t0) * 1e3, run_id, cfg_l))
-            yield pd.DataFrame(rows, columns=[f.name for f in SPAN_ROW_SCHEMA])
+                    (time.perf_counter() - t0) * 1e3, run_id, cfg_l),
+                    "payload": None})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in _RAW_SPAN_SCHEMA])
 
-    return prepared.mapInPandas(proc, SPAN_ROW_SCHEMA)
+    raw = prepared.mapInPandas(proc, _RAW_SPAN_SCHEMA)
+    # JVM-side canonical base64 (Spark's is MIME-wrapped; strip the
+    # line breaks) — bit-identical to the Python encoding, proven by
+    # the span-equality tests and the chunked-path parity test.
+    return raw.select(
+        "doc_id", "seq", "kind",
+        F.when(F.col("payload").isNotNull(),
+               F.regexp_replace(F.base64("payload"), "\r\n", ""))
+         .otherwise(F.col("text")).alias("text"),
+        "media_ref", "offset")
 
 
 # --------------------------------------------------------------------------

@@ -179,7 +179,8 @@ def writeinf_text(header: Header, outstem: str, dm: float, *,
 def build_output_spans(out, dmlist: np.ndarray, header: Header,
                        *, nsamp_dec: int, tsamp_dec: float, max_delay: int,
                        prefix: str, media: list[dict],
-                       dt_factors: np.ndarray | None = None) -> list[dict]:
+                       dt_factors: np.ndarray | None = None,
+                       raw_series: bool = False) -> list[dict]:
     """Per FIXTURES.md §4: per DM ascending a ``timeseries`` span
     (base64 float32-LE of the full concatenated series — the
     per-DM ``.dat`` file content, ``dragnet.cu:310-323``), then per DM
@@ -189,13 +190,22 @@ def build_output_spans(out, dmlist: np.ndarray, header: Header,
     ``out`` is a rectangular (ndm, n) array, or — on the adaptive-dt
     path (D5) — a list of per-DM series of differing lengths, with
     ``dt_factors`` giving each DM's scrunch factor (the per-DM ``.inf``
-    then carries the scrunched bin count and width)."""
+    then carries the scrunched bin count and width).
+
+    ``raw_series=True`` emits the timeseries payload as raw bytes under
+    ``payload`` with ``text=None`` — the pipeline's Arrow-boundary
+    optimization: the JVM side base64-encodes (identical canonical
+    output, proven by the span-equality tests), so 25% fewer bytes
+    cross the Python->JVM socket."""
     spans: list[dict] = []
     for d, dm in enumerate(dmlist):
         series = np.ascontiguousarray(out[d], dtype="<f4")
+        raw = series.tobytes()
         spans.append({
             "kind": "timeseries",
-            "text": base64.b64encode(series.tobytes()).decode("ascii"),
+            "text": None if raw_series
+            else base64.b64encode(raw).decode("ascii"),
+            **({"payload": raw} if raw_series else {}),
             "media_ref": "dm://%.3f" % float(np.float32(dm)),
             "offset": d,
         })
