@@ -430,6 +430,77 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """
 
+# IVF with learned centroids (one exact-arithmetic Lloyd update over
+# floor-quantized integer vectors; see queries.q_ann_ivf_kmeans for the
+# determinism argument: BIGINT numerators < 2^53, one IEEE division).
+_QDOT = ("CAST(list_sum(list_transform(range(64), "
+         "j -> {a}[j+1] * {b}[j+1])) AS BIGINT)")
+
+ORACLE_SQL["ann_ivf_kmeans"] = """
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+             AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, qv AS sv, CAST(1 AS BIGINT) AS cn
+  FROM eq WHERE vec_id < 16
+), d1 AS (
+  SELECT e.vec_id, c.cid,
+         CAST({svsv0} - 2 * c.cn * {xsv0} AS DOUBLE)
+           / CAST(c.cn * c.cn AS DOUBLE) AS score
+  FROM eq e, c0 c
+), a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score, cid) AS rn
+    FROM d1) WHERE rn = 1
+), s1 AS (
+  SELECT a1.cluster, r.range AS pos,
+         CAST(SUM(eq.qv[r.range + 1]) AS BIGINT) AS s
+  FROM a1 JOIN eq USING (vec_id), range(64) r
+  GROUP BY 1, 2
+), n1 AS (
+  SELECT cluster, COUNT(*) AS cn FROM a1 GROUP BY 1
+), c1 AS (
+  SELECT s1.cluster AS cid, list(s1.s ORDER BY s1.pos) AS sv,
+         CAST(n1.cn AS BIGINT) AS cn
+  FROM s1 JOIN n1 USING (cluster)
+  GROUP BY s1.cluster, n1.cn
+), d2 AS (
+  SELECT e.vec_id, c.cid,
+         CAST({svsv1} - 2 * c.cn * {xsv1} AS DOUBLE)
+           / CAST(c.cn * c.cn AS DOUBLE) AS score
+  FROM eq e, c1 c
+), a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score, cid) AS rn
+    FROM d2) WHERE rn = 1
+), qc AS (
+  SELECT cluster AS qcell FROM a2 WHERE vec_id = 0
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+)
+SELECT em.vec_id, CAST(a2.cluster AS BIGINT) AS cell,
+       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
+FROM embeddings em
+JOIN a2 ON em.vec_id = a2.vec_id
+CROSS JOIN qc CROSS JOIN q
+WHERE em.vec_id <> 0 AND a2.cluster = qc.qcell
+ORDER BY cos_sim DESC, em.vec_id
+LIMIT 5
+""".format(svsv0=_QDOT.format(a="c.sv", b="c.sv"),
+           xsv0=_QDOT.format(a="e.qv", b="c.sv"),
+           svsv1=_QDOT.format(a="c.sv", b="c.sv"),
+           xsv1=_QDOT.format(a="e.qv", b="c.sv"),
+           ab=_DOTSQL.format(a="em.embedding", b="qe"),
+           aa=_DOTSQL.format(a="em.embedding", b="em.embedding"),
+           bb=_DOTSQL.format(a="qe", b="qe"))
+
 _CELL4 = "CAST(" + " + ".join(
     _LSH_BIT.format(off=i * 64, w=2 ** i) for i in range(4)
 ) + " AS BIGINT)"

@@ -598,6 +598,85 @@ def q_ann_ivf_topk(spark, sf_dir):
             .limit(5))
 
 
+def _qdot(a, b):
+    """Exact BIGINT dot product of two quantized vectors."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def _quantize(col):
+    """Deterministic engine-portable quantization: q = floor(x*1000 +
+    0.5) per element (FLOOR has no rounding-convention ambiguity,
+    unlike ROUND half-even vs half-away)."""
+    return F.transform(col, lambda x: F.floor(
+        x.cast("double") * 1000.0 + 0.5).cast("bigint"))
+
+
+def _kmeans_assign(eq: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector, bit-deterministic across engines.
+
+    Centroid k is the rational mean sv/cn of quantized integer
+    vectors.  Squared L2 distance to it is
+    ``x.x - 2*x.sv/cn + sv.sv/cn^2``; dropping the per-vector constant
+    ``x.x`` leaves ``score_k = (sv.sv - 2*cn*x.sv) / cn^2``.  The
+    numerator is an exact BIGINT with |num| < 2^53 (|q| <= 600, dim 64,
+    n <= 2000 => |num| < 3e14) and the denominator is an exact BIGINT,
+    so the double division is a single IEEE round-to-nearest of exact
+    operands — identical bits in Spark and DuckDB, no accumulation
+    order anywhere.  Ties broken by centroid id (lexicographic struct
+    min)."""
+    x = F.col("qv")
+    num = _qdot(F.col("sv"), F.col("sv")) \
+        - F.lit(2).cast("bigint") * F.col("cn") * _qdot(x, F.col("sv"))
+    score = num.cast("double") / (F.col("cn") * F.col("cn")).cast("double")
+    scored = (eq.crossJoin(F.broadcast(cents))
+              .select("vec_id", F.struct(score.alias("s"),
+                                         F.col("cid")).alias("sc")))
+    return (scored.groupBy("vec_id").agg(F.min("sc").alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster")))
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with LEARNED centroids: one exact-arithmetic Lloyd update
+    (init = vectors 0..15, assign, elementwise-mean update, reassign),
+    then probe the query vector's learned cell with the exact
+    pinned-order cosine.  Everything distributed: centroids are a
+    16-row DataFrame broadcast into the assignment join (k-means'
+    centroid table is small by definition); updates are
+    posexplode->sum BIGINT aggregations, bit-reproducible across
+    engines because the vectors are floor-quantized to integers."""
+    e = _t(spark, sf_dir, "embeddings")
+    eq = e.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    c0 = (eq.where(F.col("vec_id") < 16)
+          .select(F.col("vec_id").alias("cid"), F.col("qv").alias("sv"),
+                  F.lit(1).cast("bigint").alias("cn")))
+    a1 = _kmeans_assign(eq, c0)
+    sums = (a1.join(eq, "vec_id")
+            .select("cluster", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cluster", "pos").agg(F.sum("v").alias("s"))
+            .groupBy("cluster")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st.s).alias("sv")))
+    counts = a1.groupBy("cluster").agg(F.count(F.lit(1)).alias("cn"))
+    c1 = (sums.join(counts, "cluster")
+          .select(F.col("cluster").alias("cid"), "sv", "cn"))
+    a2 = _kmeans_assign(eq, c1)
+    qcell = F.broadcast(a2.where(F.col("vec_id") == 0)
+                        .select(F.col("cluster").alias("qcell")))
+    qe = F.broadcast(e.where(F.col("vec_id") == 0)
+                     .select(F.col("embedding").cast("array<double>")
+                             .alias("qe")))
+    cos = _cosine(F.col("embedding").cast("array<double>"), F.col("qe"))
+    return (e.join(a2, "vec_id").where(F.col("vec_id") != 0)
+            .crossJoin(qcell).where(F.col("cluster") == F.col("qcell"))
+            .crossJoin(qe)
+            .select("vec_id", F.col("cluster").cast("bigint").alias("cell"),
+                    F.round(cos, 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(5))
+
+
 def q_windowed_stats(spark, sf_dir):
     """Event-time tumbling-window zero-DM + SK stats (streaming.py,
     batch form; the stream==batch parity is tested separately).  Window
@@ -644,6 +723,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "media_features": _q_media_features,
     "windowed_stats": q_windowed_stats,
 }
