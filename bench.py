@@ -95,7 +95,7 @@ def flagship_only(cores: int, runs: int, corpus: str = BENCH_CORPUS,
                       "median_sec": med, "docs_per_sec": ndocs / med}))
 
 
-def scaling(runs: int, corpus: str = BENCH_CORPUS) -> None:
+def scaling(runs: int, corpus: str = BENCH_CORPUS, warmups: int = 4) -> None:
     results = {}
     for cores in (2, 8, 32):
         # Pin the whole process tree (JVM + Python workers) to exactly
@@ -104,7 +104,7 @@ def scaling(runs: int, corpus: str = BENCH_CORPUS) -> None:
         # baseline — a real N-core executor has no spare cores.
         cmd = [sys.executable, __file__, "--flagship-only",
                "--cores", str(cores), "--runs", str(runs),
-               "--corpus", corpus, "--warmups", "4"]
+               "--corpus", corpus, "--warmups", str(warmups)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True,
@@ -124,14 +124,14 @@ def scaling(runs: int, corpus: str = BENCH_CORPUS) -> None:
     md = f"""# BENCH/BASELINE.md — measured throughput & scaling efficiency
 
 Flagship job: fused dedispersion pipeline (zap -> SK zap -> decimate ->
-dedisperse, scenario `s3`) over the deterministic `bench` corpus
-({results[8]['ndocs']} documents x 128 chan x 8192 samples, ~1.4 GB,
+dedisperse, scenario `s3`) over the deterministic `{corpus}` corpus
+({results[8]['ndocs']} documents x 128 chan x 8192 samples,
 seed 42; `dragnet_spark/generate.py`), identical input at every
 parallelism level.  Per the driver instruction, pinned local[N] levels
 on the same 32-core host are the sandbox proxy for N-executor
 clusters: each run is CPU-pinned (`taskset -c 0-(N-1)`) so the JVM +
 Python workers of a local[N] job really share N cores, exactly as N
-single-core executors would.  {runs} timed runs per level after 4
+single-core executors would.  {runs} timed runs per level after {warmups}
 JIT/Arrow warm-up runs; median reported.
 
 | parallelism | runs (sec) | median sec | docs/sec |
@@ -242,7 +242,7 @@ def main() -> None:
     if a.flagship_only:
         flagship_only(a.cores, a.runs, a.corpus, a.warmups)
     elif a.scaling:
-        scaling(a.runs, a.corpus)
+        scaling(a.runs, a.corpus, a.warmups)
     else:
         driver_bench()
 
