@@ -32,7 +32,15 @@ def main() -> None:
                                      "'table:<catalog.db.table>' (Iceberg)")
     src.add_argument("--corpus", help="synthetic corpus name (tiny/small/"
                                       "bench/skew)")
+    src.add_argument("--ingest-fil",
+                     help="SIGPROC .fil path/glob: ingest to the documents "
+                          "table shape, then run the pipeline on it")
     p.add_argument("--out", required=True)
+    p.add_argument("--mask-file",
+                   help="PRESTO rfifind .mask binary (padvals from the "
+                        "sibling .stats when present)")
+    p.add_argument("--export-presto", metavar="DIR",
+                   help="also write per-(doc, DM) .dat/.inf files to DIR")
     p.add_argument("--config", default="s0",
                    help="scenario id from generate.scenario_configs")
     p.add_argument("--run-id", default="run0")
@@ -54,7 +62,11 @@ def main() -> None:
 
     corpus_for_cfg = args.corpus or "small"
     cfg = scenario_configs(corpus_for_cfg)[args.config]
-    mask = make_mask(corpus_for_cfg) if args.with_mask else None
+    if args.mask_file:
+        from dragnet_spark.presto_io import load_mask
+        mask = load_mask(args.mask_file)
+    else:
+        mask = make_mask(corpus_for_cfg) if args.with_mask else None
 
     if args.corpus:
         if args.corpus == "bench":
@@ -63,12 +75,22 @@ def main() -> None:
             docs = spark.read.parquet(path)
         else:
             docs = docs_to_df(spark, make_corpus(args.corpus))
+    elif args.ingest_fil:
+        from dragnet_spark.sigproc import ingest_filterbank
+        docs = ingest_filterbank(spark, args.ingest_fil)
     else:
         from dragnet_spark.io import read_documents
         docs = read_documents(spark, args.input)
 
     stats = run_job(spark, docs, cfg, mask, args.out, run_id=args.run_id,
                     resume=not args.no_resume, chunked=args.chunked)
+    if args.export_presto:
+        from pyspark.sql import functions as F
+        from dragnet_spark.presto_io import export_presto_files
+        rows = spark.read.parquet(f"{args.out}/spans").where(
+            F.col("kind").isin("timeseries", "inf"))
+        stats["n_presto_files"] = export_presto_files(
+            rows, args.export_presto, prefix=cfg.prefix)
     print(json.dumps(stats))
     spark.stop()
 
