@@ -114,16 +114,19 @@ def export_samples(corpus: str) -> str:
     return path
 
 
-def _delays_cte(corpus: str) -> str:
+def _delays_cte(corpus: str, ndec: int = 1) -> str:
     """Delay-table CTE with the corpus header constants inlined —
-    computed BY DuckDB, independent of plan.delay_samples."""
+    computed BY DuckDB, independent of plan.delay_samples.  ``ndec``
+    puts the delays on the decimated grid (tsamp*ndec), exactly as the
+    reference rewrites the header before planning (dragnet.cu:72-74)."""
     _ndocs, nchan, _t, tsamp = CORPORA[corpus]
+    tsamp_dec = tsamp * ndec
     h = Header()
     return f"""delays AS (
   SELECT d.range AS dm_index, c.range AS chan,
          CAST(ROUND((5.0 * d.range)
               * ({KDM!r} * (POWER({h.fch1!r} + c.range * {h.foff!r}, -2)
-                            - POWER({h.fch1!r}, -2)) / {tsamp!r}))
+                            - POWER({h.fch1!r}, -2)) / {tsamp_dec!r}))
               AS BIGINT) AS delay
   FROM range(11) d, range({nchan}) c
 ), md AS (SELECT MAX(delay) AS max_delay FROM delays)"""
@@ -151,6 +154,72 @@ SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
        CAST(t_out AS BIGINT) AS t_out, CAST(v AS DOUBLE) AS value
 FROM series
 """
+
+
+# User channel-zap list for the zap+decimate oracle scenario.  The
+# grammar indices are flipped high-first by P2 (dragnet.cu:255):
+# data column = nchan-1-z.
+ZAP_TINY = "0,3:5"
+
+
+def _zap_cols_tiny() -> list[int]:
+    from .params import ranges_to_ivect
+    nchan = CORPORA["tiny"][1]
+    return sorted(nchan - 1 - z
+                  for z in ranges_to_ivect(ZAP_TINY, 0, nchan - 1))
+
+
+def zap_decimate_oracle_sql() -> str:
+    """P2 (zap -> 0, no mask) + A8 (ndec=2 tumbling mean) + D3 on the
+    decimated grid, all in SQL.  Every intermediate is exact: zapped
+    values are integers, decimated values are half-integers (sum of 2
+    uint8 / 2.0), channel sums of 16 half-integers stay far below
+    float32's exact range — so the engines cannot diverge."""
+    cols = ", ".join(str(c) for c in _zap_cols_tiny())
+    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    return f"""WITH {_delays_cte("tiny", ndec=2)},
+samples AS (SELECT * FROM read_parquet('{path}')),
+zapped AS (
+  SELECT doc_id, nsamp, t, chan,
+         CASE WHEN chan IN ({cols}) THEN 0 ELSE value END AS v
+  FROM samples
+), dec AS (
+  SELECT doc_id, CAST(nsamp // 2 AS BIGINT) AS nsamp_dec,
+         CAST(t // 2 AS BIGINT) AS td, chan,
+         CAST(SUM(v) AS DOUBLE) / 2.0 AS dv
+  FROM zapped GROUP BY 1, 2, 3, 4
+), series AS (
+  SELECT z.doc_id, d.dm_index, z.td - d.delay AS t_out, SUM(z.dv) AS v
+  FROM dec z
+  JOIN delays d ON z.chan = d.chan
+  CROSS JOIN md
+  WHERE z.td - d.delay >= 0 AND z.td - d.delay < z.nsamp_dec - md.max_delay
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
+       CAST(t_out AS BIGINT) AS t_out, CAST(v AS DOUBLE) AS value
+FROM series
+"""
+
+
+def _zap_decimate_cfg() -> RunConfig:
+    base = scenario_configs("tiny")["s0"]
+    return RunConfig(**{**base.__dict__, "config_id": "s_zapdec",
+                        "zapchan": ZAP_TINY, "ndec": 2})
+
+
+def q_dedisperse_zap_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline with the cleaning stages that are themselves
+    SQL-expressible — user channel zap (P2) and ndec=2 decimation (A8)
+    — composed with dedispersion (D3) on the decimated grid, checked
+    against the independent DuckDB evaluation end-to-end."""
+    from .pipeline import docs_to_df, run_pipeline
+
+    export_samples("tiny")
+    _assert_round_safe(CORPORA["tiny"][1], CORPORA["tiny"][3] * 2, Header())
+    docs = docs_to_df(spark, make_corpus("tiny"))
+    rows = run_pipeline(docs, _zap_decimate_cfg(), None)
+    return _decode_series(rows)
 
 
 def skew_oracle_sql() -> str:
@@ -253,6 +322,7 @@ def q_dedisperse_skew_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FLAGSHIP_QUERIES = {
     "dedisperse_tiny": q_dedisperse_tiny,
+    "dedisperse_zap_decimate": q_dedisperse_zap_decimate,
     "dedisperse_skew_chunked": q_dedisperse_skew_chunked,
 }
 
@@ -265,5 +335,6 @@ def flagship_oracle_sql() -> dict[str, str]:
     export_samples("skew")
     return {
         "dedisperse_tiny": tiny_oracle_sql(),
+        "dedisperse_zap_decimate": zap_decimate_oracle_sql(),
         "dedisperse_skew_chunked": skew_oracle_sql(),
     }
