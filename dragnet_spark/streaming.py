@@ -69,3 +69,76 @@ def run_streaming_stats(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(table)
+
+
+# --------------------------------------------------------------------------
+# Stateful streaming clipper (W1): EWMA state across micro-batches
+# --------------------------------------------------------------------------
+
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType,  # noqa: E402
+                               IntegerType, StringType, StructField,
+                               StructType)
+
+BLOCK_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("block_id", IntegerType(), False),
+    StructField("payload", BinaryType(), False),
+])
+
+CLIP_OUT_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("block_id", IntegerType(), False),
+    StructField("n_clipped", IntegerType(), False),
+    StructField("running_avg", DoubleType(), False),
+    StructField("running_std", DoubleType(), False),
+])
+
+# float32 state round-trips through double EXACTLY (f32->f64->f32 is
+# lossless), so streamed results are bit-identical to the batch loop.
+CLIP_STATE_SCHEMA = StructType([
+    StructField("running_avg", DoubleType(), False),
+    StructField("running_std", DoubleType(), False),
+    StructField("chan_avg", ArrayType(DoubleType()), False),
+    StructField("blocksread", IntegerType(), False),
+])
+
+
+def streaming_clipper(blocks: DataFrame, clip_sigma: float,
+                      nchan: int) -> DataFrame:
+    """The reference's time-domain clipper (W1, ``mask.c:556-677``) as
+    a real stateful streaming operator: the EWMA running state that the
+    C code keeps in function statics (``mask.c:564-566``) lives in the
+    streaming state store, keyed by doc_id, and survives across
+    micro-batches — blocks of one document arriving in later triggers
+    continue the same recursion.  Within a micro-batch, a group's
+    blocks are processed in block_id order (the stream's analog of the
+    reference's sequential read order)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        from .kernels import ClipState, clip_times
+        if state.exists:
+            ra, rs, ca, br = state.get
+            st = ClipState(np.float32(ra), np.float32(rs),
+                           np.asarray(ca, dtype=np.float32), int(br))
+        else:
+            st = ClipState()
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.sort_values("block_id").itertuples(index=False):
+                data = np.frombuffer(bytes(r.payload), np.uint8) \
+                    .reshape(-1, nchan).astype(np.float32)
+                levels = np.zeros(nchan, dtype=np.float32)
+                ncl = clip_times(data, clip_sigma, levels, st)
+                rows.append((key[0], int(r.block_id), int(ncl),
+                             float(st.running_avg), float(st.running_std)))
+        state.update((float(st.running_avg), float(st.running_std),
+                      [float(v) for v in st.chan_running_avg],
+                      int(st.blocksread)))
+        yield pd.DataFrame(rows, columns=[f.name for f in CLIP_OUT_SCHEMA])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return blocks.groupBy("doc_id").applyInPandasWithState(
+        fn, CLIP_OUT_SCHEMA, CLIP_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
