@@ -54,11 +54,9 @@ def corpus_cache(corpus: str) -> str:
 def ensure_corpus(spark, corpus: str = BENCH_CORPUS) -> int:
     """Materialize a corpus once (cached across runs); returns the
     document count."""
-    from dragnet_spark.generate import CORPORA, write_corpus_parquet_spark
-    ndocs = CORPORA[corpus][0]
-    if not (Path(corpus_cache(corpus)) / "_SUCCESS").exists():
-        write_corpus_parquet_spark(spark, corpus, corpus_cache(corpus))
-    return ndocs
+    from dragnet_spark.generate import CORPORA, corpus_df
+    corpus_df(spark, corpus)          # writes the /tmp cache if absent
+    return CORPORA[corpus][0]
 
 
 def run_flagship(spark, ndocs: int, corpus: str = BENCH_CORPUS) -> float:

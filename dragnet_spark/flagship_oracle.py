@@ -54,10 +54,13 @@ EXPORT_DIR = "/tmp/dragnet_oracle_export"
 
 # The chunked flagship entry uses a real multi-block, multi-chunk
 # config (scenario_configs gives the skew corpus blocksize=0 = whole
-# document, which would collapse chunking to one chunk per doc): with
-# blocksize 1536 and max_delay 1124 the giant doc splits into ~39
-# halo-extended chunks and every chunk runs an internal block loop.
-SKEW_BLOCKSIZE = 1536
+# document, which would collapse chunking to one chunk per doc).
+# Block-size choice is a halo-overhead tradeoff: each block advances
+# blocksize - max_delay samples, so with max_delay 1124 a 1536-sample
+# block recomputes 73% of its samples (measured 17.4s in the bench)
+# while 4096 recomputes 27% — the giant doc still splits into ~6
+# halo-extended chunks, each running an internal multi-block loop.
+SKEW_BLOCKSIZE = 4096
 
 
 def _skew_cfg() -> RunConfig:
@@ -213,12 +216,12 @@ def q_dedisperse_zap_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible — user channel zap (P2) and ndec=2 decimation (A8)
     — composed with dedispersion (D3) on the decimated grid, checked
     against the independent DuckDB evaluation end-to-end."""
-    from .pipeline import docs_to_df, run_pipeline
+    from .generate import corpus_df
+    from .pipeline import run_pipeline
 
     export_samples("tiny")
     _assert_round_safe(CORPORA["tiny"][1], CORPORA["tiny"][3] * 2, Header())
-    docs = docs_to_df(spark, make_corpus("tiny"))
-    rows = run_pipeline(docs, _zap_decimate_cfg(), None)
+    rows = run_pipeline(corpus_df(spark, "tiny"), _zap_decimate_cfg(), None)
     return _decode_series(rows)
 
 
@@ -298,11 +301,12 @@ def q_dedisperse_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the tiny corpus, exploded to numeric rows for the DuckDB
     band-join oracle.  Runs the REAL pipeline (span decode -> fused
     ``mapInPandas`` kernel -> span encode -> decode)."""
-    from .pipeline import docs_to_df, run_pipeline
+    from .generate import corpus_df
+    from .pipeline import run_pipeline
 
     export_samples("tiny")
-    docs = docs_to_df(spark, make_corpus("tiny"))
-    rows = run_pipeline(docs, scenario_configs("tiny")["s0"], None)
+    rows = run_pipeline(corpus_df(spark, "tiny"),
+                        scenario_configs("tiny")["s0"], None)
     return _decode_series(rows)
 
 
@@ -312,11 +316,11 @@ def q_dedisperse_skew_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, dm) checksums checked against the whole-array band-join
     oracle — chunk boundaries, halos and reassembly must be invisible
     in the output for the hashes to match."""
-    from .pipeline import docs_to_df, run_pipeline_chunked
+    from .generate import corpus_df
+    from .pipeline import run_pipeline_chunked
 
     export_samples("skew")
-    docs = docs_to_df(spark, make_corpus("skew"))
-    rows = run_pipeline_chunked(docs, _skew_cfg(), None)
+    rows = run_pipeline_chunked(corpus_df(spark, "skew"), _skew_cfg(), None)
     return _checksum_series(rows)
 
 

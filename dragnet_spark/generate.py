@@ -158,6 +158,21 @@ def write_corpus_parquet_spark(spark, corpus: str, path: str,
     return ndocs
 
 
+def corpus_df(spark, corpus: str, cache_dir: str = "/tmp"):
+    """Materialized corpus as a DataFrame: executor-side generation
+    cached as parquet (``/tmp/dragnet_corpus_{corpus}.parquet``).
+    Driver-side ``createDataFrame(make_corpus(...))`` ships every
+    payload through a LocalRelation — for the giant skew document that
+    is ~360 MB through the driver, the opposite of the engine's scale
+    story; a parquet scan distributes the read."""
+    from pathlib import Path
+
+    path = f"{cache_dir}/dragnet_corpus_{corpus}.parquet"
+    if not (Path(path) / "_SUCCESS").exists():
+        write_corpus_parquet_spark(spark, corpus, path)
+    return spark.read.parquet(path)
+
+
 def write_corpus_parquet(corpus: str, path: str) -> None:
     """Materialize a corpus as parquet via pyarrow (Spark-independent)."""
     import pyarrow as pa
