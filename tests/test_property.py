@@ -158,3 +158,53 @@ def test_sk_masks_constant_and_zero_channels():
     zc = z.copy()
     nmask, _ = K.compute_sk_mask(zc, my, m, 12.0, 0.8, 1.2)
     assert nmask >= 2 * my    # both bad channels masked in every interval
+
+
+# ---------- S3/S6 SIGPROC binary + S12/S14 mask binary round-trips ----------
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 200), st.integers(0, 2**32 - 1))
+def test_sigproc_roundtrip_property(nchan, nsamp, seed):
+    from dragnet_spark.params import Header
+    from dragnet_spark.sigproc import read_filterbank, write_filterbank_bytes
+    rng = np.random.default_rng(seed)
+    h = Header(nchan=nchan, nsamp=nsamp,
+               tsamp=float(rng.uniform(1e-5, 1e-2)),
+               tstart=float(rng.uniform(40000, 60000)),
+               fch1=float(rng.uniform(100, 2000)),
+               foff=-float(rng.uniform(0.01, 1.0)))
+    data = rng.integers(0, 256, size=(nsamp, nchan), dtype=np.uint8)
+    h2, data2 = read_filterbank(write_filterbank_bytes(h, data))
+    np.testing.assert_array_equal(data2, data)
+    assert (h2.nchan, h2.nsamp) == (nchan, nsamp)
+    assert (h2.tsamp, h2.tstart, h2.fch1, h2.foff) == \
+        (h.tsamp, h.tstart, h.fch1, h.foff)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_mask_binary_roundtrip_property(data):
+    from dragnet_spark.params import MaskSpec
+    from dragnet_spark.presto_io import read_mask_bytes, write_mask_bytes
+    numchan = data.draw(st.integers(1, 32))
+    numint = data.draw(st.integers(1, 8))
+    chan_list = st.lists(st.integers(0, numchan - 1), max_size=numchan,
+                         unique=True).map(sorted)
+    per_int = [data.draw(st.one_of(
+        chan_list, st.just(list(range(numchan)))))   # incl. full lists
+        for _ in range(numint)]
+    m = MaskSpec(mask_id="p", timesigma=10.0, freqsigma=4.0,
+                 mjd=56000.25, dtint=0.1, lofreq=100.0, dfreq=0.1,
+                 numchan=numchan, numint=numint, ptsperint=16,
+                 zap_chans=data.draw(chan_list),
+                 zap_ints=data.draw(st.lists(st.integers(0, numint - 1),
+                                             max_size=numint, unique=True)
+                                    .map(sorted)),
+                 chans_per_int=per_int)
+    m2 = read_mask_bytes(write_mask_bytes(m), mask_id="p")
+    assert m2.zap_chans == m.zap_chans and m2.zap_ints == m.zap_ints
+    # full lists are elided on write and regenerated on read; n==numchan
+    # always comes back as the explicit 0..numchan-1 list
+    assert m2.chans_per_int == [
+        list(range(numchan)) if len(c) == numchan else c
+        for c in m.chans_per_int]
