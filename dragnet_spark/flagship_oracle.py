@@ -240,6 +240,101 @@ GROUP BY 1, 2
 """
 
 
+# ----- optimal (Levin-recurrence) DM list, D2a -----------------------------
+
+def _levin_constants(corpus: str) -> dict:
+    """The recurrence constants of plan.optimal_dm_list, pre-multiplied
+    in Python so the SQL recurrence applies the IDENTICAL operation
+    order (each constant is one exact double, inlined via repr)."""
+    _ndocs, nchan, _t, tsamp = CORPORA[corpus]
+    h = Header()
+    cfg = scenario_configs(corpus)["s0"]
+    dt_us = tsamp * 1e6
+    f = (h.fch1 + ((nchan // 2) - 0.5) * h.foff) * 1e-3
+    tol2 = cfg.dm_tol * cfg.dm_tol
+    a = 8.3 * h.foff / (f * f * f)
+    a2 = a * a
+    b2 = a2 * (nchan * nchan / 16.0)
+    c = (dt_us * dt_us + cfg.pulse_width * cfg.pulse_width) * (tol2 - 1.0)
+    return {"b2": b2, "na2b2": -a2 * b2, "a2pb2": a2 + b2,
+            "c": c, "t2a2": tol2 * a2,
+            "dm_start": cfg.dm_start, "dm_end": cfg.dm_end}
+
+
+def optimal_dm_oracle_sql() -> str:
+    """Band-join dedispersion of the tiny corpus over the OPTIMAL
+    (smearing-bounded) DM trial list — the DM list itself is generated
+    BY DuckDB with a recursive CTE applying the Levin recurrence
+    (plan.optimal_dm_list, the public dedisp algorithm), stored via a
+    float32 round-trip exactly as the plan does.  Verifies D2a end to
+    end with zero shared code."""
+    k = _levin_constants("tiny")
+    nchan = CORPORA["tiny"][1]
+    tsamp = CORPORA["tiny"][3]
+    h = Header()
+    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    return f"""WITH RECURSIVE dms(dm) AS (
+  SELECT CAST({k['dm_start']!r} AS DOUBLE)
+  UNION ALL
+  SELECT ({k['b2']!r} * dm
+          + SQRT({k['na2b2']!r} * (dm * dm)
+                 + {k['a2pb2']!r} * ({k['c']!r} + {k['t2a2']!r} * (dm * dm))))
+         / {k['a2pb2']!r}
+  FROM dms WHERE dm < {k['dm_end']!r}
+), dml AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY dm) - 1 AS dm_index,
+         CAST(CAST(dm AS FLOAT) AS DOUBLE) AS dmf
+  FROM dms
+), delays AS (
+  SELECT d.dm_index, c.range AS chan,
+         CAST(ROUND(d.dmf
+              * ({KDM!r} * (POWER({h.fch1!r} + c.range * {h.foff!r}, -2)
+                            - POWER({h.fch1!r}, -2)) / {tsamp!r}))
+              AS BIGINT) AS delay
+  FROM dml d, range({nchan}) c
+), md AS (SELECT MAX(delay) AS max_delay FROM delays),
+samples AS (SELECT * FROM read_parquet('{path}')),
+series AS (
+  SELECT s.doc_id, d.dm_index, s.t - d.delay AS t_out, SUM(s.value) AS v
+  FROM samples s
+  JOIN delays d ON s.chan = d.chan
+  CROSS JOIN md
+  WHERE s.t - d.delay >= 0 AND s.t - d.delay < s.nsamp - md.max_delay
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
+       CAST(t_out AS BIGINT) AS t_out, CAST(v AS DOUBLE) AS value
+FROM series
+"""
+
+
+def q_dedisperse_optimal_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship dedispersion over the OPTIMAL DM trial list (D2a,
+    dm_step=0 => Levin recurrence) — the plan-time optimizer's output
+    is itself verified: the oracle regenerates the trial list in SQL."""
+    from .generate import corpus_df
+    from .pipeline import run_pipeline
+    from .plan import delay_table, optimal_dm_list
+
+    export_samples("tiny")
+    # Round-boundary guard for THIS dm list (cf. _assert_round_safe)
+    _ndocs, nchan, _t, tsamp = CORPORA["tiny"]
+    h = Header()
+    cfg = scenario_configs("tiny")["s0"]
+    dml = optimal_dm_list(cfg.dm_start, cfg.dm_end, tsamp, cfg.pulse_width,
+                          h.fch1, h.foff, nchan, cfg.dm_tol)
+    prod = dml.astype(np.float64)[:, None] \
+        * delay_table(nchan, tsamp, h.fch1, h.foff)[None, :]
+    margin = float(np.abs(prod - np.floor(prod) - 0.5).min())
+    if margin <= 1e-6:
+        raise AssertionError(f"optimal-DM delay product margin {margin}")
+
+    opt_cfg = RunConfig(**{**cfg.__dict__, "config_id": "s_optdm",
+                           "dm_step": 0.0})
+    rows = run_pipeline(corpus_df(spark, "tiny"), opt_cfg, None)
+    return _decode_series(rows)
+
+
 _SERIES_SCHEMA = "doc_id string, dm_index bigint, t_out bigint, value double"
 _CHECKSUM_SCHEMA = ("doc_id string, dm_index bigint, n bigint, "
                     "sum_value double, wsum_value double")
@@ -327,6 +422,7 @@ def q_dedisperse_skew_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLAGSHIP_QUERIES = {
     "dedisperse_tiny": q_dedisperse_tiny,
     "dedisperse_zap_decimate": q_dedisperse_zap_decimate,
+    "dedisperse_optimal_dm": q_dedisperse_optimal_dm,
     "dedisperse_skew_chunked": q_dedisperse_skew_chunked,
 }
 
@@ -340,5 +436,6 @@ def flagship_oracle_sql() -> dict[str, str]:
     return {
         "dedisperse_tiny": tiny_oracle_sql(),
         "dedisperse_zap_decimate": zap_decimate_oracle_sql(),
+        "dedisperse_optimal_dm": optimal_dm_oracle_sql(),
         "dedisperse_skew_chunked": skew_oracle_sql(),
     }
