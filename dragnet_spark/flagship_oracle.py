@@ -117,7 +117,7 @@ def export_samples(corpus: str) -> str:
     return path
 
 
-def _delays_cte(corpus: str, ndec: int = 1) -> str:
+def _delays_cte(corpus: str, ndec: int = 1, ndm: int = 11) -> str:
     """Delay-table CTE with the corpus header constants inlined —
     computed BY DuckDB, independent of plan.delay_samples.  ``ndec``
     puts the delays on the decimated grid (tsamp*ndec), exactly as the
@@ -131,7 +131,7 @@ def _delays_cte(corpus: str, ndec: int = 1) -> str:
               * ({KDM!r} * (POWER({h.fch1!r} + c.range * {h.foff!r}, -2)
                             - POWER({h.fch1!r}, -2)) / {tsamp_dec!r}))
               AS BIGINT) AS delay
-  FROM range(11) d, range({nchan}) c
+  FROM range({ndm}) d, range({nchan}) c
 ), md AS (SELECT MAX(delay) AS max_delay FROM delays)"""
 
 
@@ -238,6 +238,144 @@ SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
 FROM series
 GROUP BY 1, 2
 """
+
+
+# ----- rfifind-mask path (J1/J4/J5 + W3 + D3), SQL-verified ---------------
+
+# Oracle mask: integer padvals keep every masked sum an exact integer.
+# Channel lists are low-first (rfifind convention); interval 2 is an
+# all-channels list (expansion path), interval 5 is in zap_ints (the
+# nummasked == -1 everything-masked path).  blocksize 64 == ptsperint
+# but blocks advance by blocksize - max_delay, so many blocks STRADDLE
+# interval boundaries and overlapping raw samples are re-masked under
+# different interval sets — exactly the reference block-loop behaviour.
+MASKED_BLOCKSIZE = 64
+MASKED_DM_END = 10.0          # 3 trials: max_delay 36 < blocksize 64
+
+
+def _oracle_mask() -> "MaskSpec":
+    from .params import MaskSpec
+    _nd, nchan, t, tsamp = CORPORA["tiny"]
+    ptsperint = 64
+    return MaskSpec(
+        mask_id="mask-oracle", timesigma=10.0, freqsigma=4.0,
+        mjd=Header().tstart, dtint=ptsperint * tsamp,
+        lofreq=Header().fch1 - (nchan - 1) * abs(Header().foff),
+        dfreq=abs(Header().foff), numchan=nchan, numint=t // ptsperint,
+        ptsperint=ptsperint, zap_chans=[2], zap_ints=[5],
+        chans_per_int=[[], [1, 8], list(range(nchan)), [3], [], [0, 15],
+                       [], [7]],
+        padvals=[float(20 + c) for c in range(nchan)])
+
+
+def _masked_cfg() -> "RunConfig":
+    base = scenario_configs("tiny")["s0"]
+    return RunConfig(**{**base.__dict__, "config_id": "s_masked",
+                        "blocksize": MASKED_BLOCKSIZE, "use_mask": True,
+                        "dm_end": MASKED_DM_END})
+
+
+def masked_oracle_sql() -> str:
+    """The rfifind-mask subsystem in SQL, composed with the block loop
+    and dedispersion:
+
+    * blocks CTE — the do-while of ``dragnet.cu:237-330``: isamp
+      advances by ``to_read - max_delay``; output position == isamp.
+    * loint/hiint — ``check_mask`` (``mask.c:444-455``): interval ids
+      from ``starttime/dtint`` with the reference's clamping order
+      (hiint clamps to the ALREADY-clamped loint).
+    * allmask — loint or hiint in zap_ints => every cell padded
+      (``mask.c:702-704``); straddling blocks union BOTH intervals'
+      channel lists with zap_chans (``mask.c:477-511``).
+    * scatter — data column ``numchan-1-c`` (inverse_mask flip,
+      ``mask.c:720-728``) gets ``padvals[col]`` — padvals indexed by
+      the FLIPPED column, the reference's no-op-swap quirk.
+
+    Integer padvals keep every channel sum exact, so float32 pipeline
+    accumulation and double SQL sums cannot diverge."""
+    m = _oracle_mask()
+    _nd, nchan, t, tsamp = CORPORA["tiny"]
+    ndm = 3
+    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    cpi_rows = ", ".join(f"({i}, {c})"
+                         for i, chans in enumerate(m.chans_per_int)
+                         for c in chans) or "(NULL, NULL)"
+    zapch_rows = ", ".join(f"({c})" for c in m.zap_chans)
+    zapint = ", ".join(str(i) for i in m.zap_ints)
+    padv = ", ".join(f"({c}, {m.padvals[c]!r})" for c in range(nchan))
+    return f"""WITH RECURSIVE {_delays_cte("tiny", ndm=ndm)},
+cpi(intv, ch) AS (VALUES {cpi_rows}),
+padv(chan, pv) AS (VALUES {padv}),
+blocks(isamp) AS (
+  SELECT CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT isamp + LEAST({MASKED_BLOCKSIZE}, {t} - isamp) - md.max_delay
+  FROM blocks, md
+  WHERE isamp + LEAST({MASKED_BLOCKSIZE}, {t} - isamp) - md.max_delay
+        < {t} - md.max_delay
+), binfo AS (
+  -- endtime replicates check_mask's exact float op order:
+  -- starttime + duration = (isamp*tsamp) + (to_read*tsamp)
+  SELECT isamp, LEAST({MASKED_BLOCKSIZE}, {t} - isamp) AS to_read,
+         CAST(FLOOR((isamp * {tsamp!r}) / {m.dtint!r}) AS BIGINT) AS loint0,
+         CAST(FLOOR(((isamp * {tsamp!r})
+                     + (LEAST({MASKED_BLOCKSIZE}, {t} - isamp) * {tsamp!r}))
+                    / {m.dtint!r}) AS BIGINT) AS hiint0
+  FROM blocks
+), bint AS (
+  SELECT isamp, to_read,
+         CASE WHEN loint0 >= {m.numint} THEN {m.numint} - 1
+              ELSE loint0 END AS loint,
+         CASE WHEN hiint0 >= {m.numint}
+              THEN CASE WHEN loint0 >= {m.numint} THEN {m.numint} - 1
+                        ELSE loint0 END
+              ELSE hiint0 END AS hiint
+  FROM binfo
+), bmask AS (
+  SELECT isamp, to_read, loint, hiint,
+         (loint IN ({zapint})
+          OR (loint <> hiint AND hiint IN ({zapint}))) AS allmask
+  FROM bint
+), maskedchan AS (
+  SELECT DISTINCT b.isamp, {nchan - 1} - m.ch AS chan
+  FROM bmask b
+  JOIN (SELECT intv, ch FROM cpi
+        UNION ALL SELECT NULL, ch FROM (VALUES {zapch_rows}) z(ch)) m
+    ON m.intv IS NULL OR m.intv = b.loint
+       OR (b.loint <> b.hiint AND m.intv = b.hiint)
+), series AS (
+  SELECT s.doc_id, d.dm_index,
+         b.isamp + (s.t - b.isamp - d.delay) AS t_out,
+         SUM(CASE WHEN b.allmask OR mc.chan IS NOT NULL
+                  THEN p.pv ELSE s.value END) AS v
+  FROM read_parquet('{path}') s
+  JOIN bmask b ON s.t >= b.isamp AND s.t < b.isamp + b.to_read
+  JOIN delays d ON s.chan = d.chan
+  JOIN padv p ON s.chan = p.chan
+  CROSS JOIN md
+  LEFT JOIN maskedchan mc ON mc.isamp = b.isamp AND mc.chan = s.chan
+  WHERE s.t - b.isamp - d.delay >= 0
+    AND s.t - b.isamp - d.delay < b.to_read - md.max_delay
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
+       CAST(t_out AS BIGINT) AS t_out, CAST(v AS DOUBLE) AS value
+FROM series
+"""
+
+
+def q_dedisperse_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline with the full rfifind-mask subsystem active
+    (interval join incl. straddling + zap_ints all-mask + the flipped
+    scatter), multi-block with halo re-masking — verified cell-exactly
+    against the independent SQL evaluation in masked_oracle_sql."""
+    from .generate import corpus_df
+    from .pipeline import run_pipeline
+
+    export_samples("tiny")
+    rows = run_pipeline(corpus_df(spark, "tiny"), _masked_cfg(),
+                        _oracle_mask())
+    return _decode_series(rows)
 
 
 # ----- optimal (Levin-recurrence) DM list, D2a -----------------------------
@@ -422,6 +560,7 @@ def q_dedisperse_skew_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 FLAGSHIP_QUERIES = {
     "dedisperse_tiny": q_dedisperse_tiny,
     "dedisperse_zap_decimate": q_dedisperse_zap_decimate,
+    "dedisperse_masked": q_dedisperse_masked,
     "dedisperse_optimal_dm": q_dedisperse_optimal_dm,
     "dedisperse_skew_chunked": q_dedisperse_skew_chunked,
 }
@@ -436,6 +575,7 @@ def flagship_oracle_sql() -> dict[str, str]:
     return {
         "dedisperse_tiny": tiny_oracle_sql(),
         "dedisperse_zap_decimate": zap_decimate_oracle_sql(),
+        "dedisperse_masked": masked_oracle_sql(),
         "dedisperse_optimal_dm": optimal_dm_oracle_sql(),
         "dedisperse_skew_chunked": skew_oracle_sql(),
     }
