@@ -378,6 +378,169 @@ def q_dedisperse_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decode_series(rows)
 
 
+# ----- SK-zap and clipper metrics, SQL-verified ---------------------------
+
+def _metrics_df(rows: DataFrame, fields: list[str]) -> DataFrame:
+    """Per-document metrics rows -> numeric columns."""
+    sel = [F.get_json_object("text", f"$.{f}").cast("bigint").alias(f)
+           for f in fields]
+    return (rows.where(F.col("kind") == "metrics")
+            .select("doc_id", *sel))
+
+
+def q_sk_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-pipeline spectral-kurtosis zapping (A6 estimator + the
+    sk_threshold3 limits actually used by the run + the F8 isnan
+    guard): per-document masked-interval counts from the pipeline's
+    metrics rows, verified against a DuckDB recomputation."""
+    from .generate import corpus_df
+    from .pipeline import run_pipeline
+
+    export_samples("tiny")
+    rows = run_pipeline(corpus_df(spark, "tiny"),
+                        scenario_configs("tiny")["s3"], None)
+    return _metrics_df(rows, ["n_blocks", "n_sk_masked_intervals"])
+
+
+def sk_metrics_oracle_sql() -> str:
+    """SK masked-interval count recomputed from the sample rows.  The
+    tiny s3 scenario is a single whole-document block with mskz=64 =>
+    8 full intervals of mact=64; s1/s2 are exact integer sums, the sk
+    expression replicates kernels.compute_sk_mask's operation order,
+    and the [lo, hi] limits are the plan-time sk_threshold3 constants
+    (Pearson-IV/VI numeric integration is plan-time Python, like the
+    delay constants — inlined via repr)."""
+    from .plan import sk_threshold3
+
+    cfg = scenario_configs("tiny")["s3"]
+    lo, hi, status = sk_threshold3(cfg.mskz, cfg.sskz, float(cfg.nskz))
+    assert status == 0
+    m = cfg.mskz
+    nd = float(cfg.nskz)
+    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    return f"""WITH g AS (
+  SELECT doc_id, chan, CAST(t // {m} AS BIGINT) AS j,
+         CAST(SUM(value) AS DOUBLE) AS s1,
+         CAST(SUM(value * value) AS DOUBLE) AS s2
+  FROM read_parquet('{path}')
+  GROUP BY 1, 2, 3
+), sk AS (
+  SELECT doc_id,
+         CASE WHEN s1 = 0 THEN TRUE    -- 0/0 => NaN => masked (skz.c:473)
+              ELSE (({m}.0 * {nd!r} + 1.0) / ({m}.0 - 1.0)
+                    * ({m}.0 * s2 / (s1 * s1) - 1.0)) < {lo!r}
+                OR (({m}.0 * {nd!r} + 1.0) / ({m}.0 - 1.0)
+                    * ({m}.0 * s2 / (s1 * s1) - 1.0)) > {hi!r}
+         END AS masked
+  FROM g
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sk_masked_intervals
+FROM sk
+GROUP BY doc_id
+"""
+
+
+def _clip_mask() -> "MaskSpec":
+    """Trivial mask (no zaps, no per-interval lists, zero padvals):
+    apply_mask then only runs the clipper (mask.c:698-700)."""
+    from .params import MaskSpec
+    _nd, nchan, t, tsamp = CORPORA["tiny"]
+    ptsperint = 64
+    return MaskSpec(
+        mask_id="mask-clip-only", timesigma=10.0, freqsigma=4.0,
+        mjd=Header().tstart, dtint=ptsperint * tsamp,
+        lofreq=Header().fch1 - (nchan - 1) * abs(Header().foff),
+        dfreq=abs(Header().foff), numchan=nchan, numint=t // ptsperint,
+        ptsperint=ptsperint, zap_chans=[], zap_ints=[],
+        chans_per_int=[[] for _ in range(t // ptsperint)],
+        padvals=[0.0] * nchan)
+
+
+CLIP_SIGMA = 6.0
+
+
+def q_clip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-pipeline time-domain clipper (W1, single whole-document
+    block so the EWMA equals its seed): per-document clipped-sample
+    counts from the metrics rows vs the DuckDB recomputation of the
+    full gating chain (zero-DM sum -> two-pass mean/sample-variance ->
+    lower-middle median -> +-3 sigma robust re-estimate -> float32
+    running stats -> trigger compare)."""
+    from .generate import corpus_df
+    from .pipeline import run_pipeline
+
+    export_samples("tiny")
+    base = scenario_configs("tiny")["s0"]
+    cfg = RunConfig(**{**base.__dict__, "config_id": "s_clip",
+                       "use_mask": True, "clip_sigma": CLIP_SIGMA})
+    rows = run_pipeline(corpus_df(spark, "tiny"), cfg, _clip_mask())
+    return _metrics_df(rows, ["n_clipped_samples"])
+
+
+def clip_metrics_oracle_sql() -> str:
+    """The clipper's gating math in SQL.  Exactness chain: zero-DM
+    sums are integers (exact in f32 and double); the two-pass variance
+    terms (zd - mean)^2 are each one IEEE multiply of an exactly-
+    representable difference; float32 casts replicate every place the
+    kernel narrows (cutoffs, running stats, trigger, the compared
+    difference)."""
+    _nd, nchan, t, tsamp = CORPORA["tiny"]
+    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    return f"""WITH zd AS (
+  SELECT doc_id, t, CAST(SUM(value) AS DOUBLE) AS z
+  FROM read_parquet('{path}') GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, t, z,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY z, t) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM zd
+), med AS (
+  -- lower-middle element (np.partition at (n-1)//2; ties by value so
+  -- the tie-break column cannot change the selected VALUE)
+  SELECT doc_id, z AS median_z FROM ranked
+  WHERE rn = CAST(FLOOR((n - 1) / 2) AS BIGINT) + 1
+), m1 AS (
+  SELECT doc_id, AVG(z) AS mean1, COUNT(*) AS n FROM zd GROUP BY doc_id
+), stat1 AS (
+  SELECT zd.doc_id, m1.n,
+         SUM((zd.z - m1.mean1) * (zd.z - m1.mean1)) AS ss1
+  FROM zd JOIN m1 USING (doc_id)
+  GROUP BY zd.doc_id, m1.n
+), cuts AS (
+  SELECT s.doc_id,
+         CAST(m.median_z - 3.0 * SQRT(s.ss1 / (s.n - 1)) AS FLOAT) AS lo,
+         CAST(m.median_z + 3.0 * SQRT(s.ss1 / (s.n - 1)) AS FLOAT) AS hi
+  FROM stat1 s JOIN med m USING (doc_id)
+), good AS (
+  SELECT zd.doc_id, zd.z
+  FROM zd JOIN cuts USING (doc_id)
+  WHERE zd.z > cuts.lo AND zd.z < cuts.hi
+), gm AS (
+  SELECT doc_id, AVG(z) AS mean2, COUNT(*) AS ng FROM good GROUP BY doc_id
+), gstat AS (
+  SELECT g.doc_id,
+         CAST(gm.mean2 AS FLOAT) AS ravg,
+         CAST(SQRT(SUM((g.z - gm.mean2) * (g.z - gm.mean2))
+                   / (gm.ng - 1)) AS FLOAT) AS rstd
+  FROM good g JOIN gm ON g.doc_id = gm.doc_id
+  GROUP BY g.doc_id, gm.mean2, gm.ng
+), trig AS (
+  SELECT doc_id, ravg,
+         CAST(CAST(CAST({CLIP_SIGMA!r} AS FLOAT) AS DOUBLE)
+              * CAST(rstd AS DOUBLE) AS FLOAT) AS trigger
+  FROM gstat
+)
+SELECT zd.doc_id,
+       CAST(SUM(CASE WHEN ABS(CAST(zd.z - CAST(t2.ravg AS DOUBLE)
+                                   AS FLOAT)) > t2.trigger
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_samples
+FROM zd JOIN trig t2 USING (doc_id)
+GROUP BY zd.doc_id
+"""
+
+
 # ----- optimal (Levin-recurrence) DM list, D2a -----------------------------
 
 def _levin_constants(corpus: str) -> dict:
@@ -563,6 +726,8 @@ FLAGSHIP_QUERIES = {
     "dedisperse_masked": q_dedisperse_masked,
     "dedisperse_optimal_dm": q_dedisperse_optimal_dm,
     "dedisperse_skew_chunked": q_dedisperse_skew_chunked,
+    "sk_metrics": q_sk_metrics,
+    "clip_metrics": q_clip_metrics,
 }
 
 
@@ -578,4 +743,6 @@ def flagship_oracle_sql() -> dict[str, str]:
         "dedisperse_masked": masked_oracle_sql(),
         "dedisperse_optimal_dm": optimal_dm_oracle_sql(),
         "dedisperse_skew_chunked": skew_oracle_sql(),
+        "sk_metrics": sk_metrics_oracle_sql(),
+        "clip_metrics": clip_metrics_oracle_sql(),
     }
