@@ -541,6 +541,150 @@ GROUP BY zd.doc_id
 """
 
 
+# ----- full SK path at series level (A6 + W2 fill + F3/F8 + D3) ------------
+
+def q_dedisperse_sk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline with spectral-kurtosis zapping active (tiny
+    s3), full output series — the SK neighbour FILL values included —
+    verified cell-exactly against the DuckDB reconstruction."""
+    from .generate import corpus_df
+    from .pipeline import run_pipeline
+
+    export_samples("tiny")
+    rows = run_pipeline(corpus_df(spark, "tiny"),
+                        scenario_configs("tiny")["s3"], None)
+    # NaN -> NULL canonicalization (both engines): the reference's own
+    # 0/0 fill edge (both side lists of length 1 => s2v == 0 with
+    # s1v == 0) yields NaN samples; NaN != NaN breaks value-hash
+    # comparison, NULL compares fine.  Infinities are kept (identical
+    # IEEE bits both sides).
+    ser = _decode_series(rows)
+    return ser.withColumn(
+        "value", F.when(F.isnan("value"), F.lit(None).cast("double"))
+                  .otherwise(F.col("value")))
+
+
+def sk_full_oracle_sql() -> str:
+    """The complete SK path in SQL (skz.c:451-562 + dragnet.cu:301):
+
+    1. estimator: exact-integer s1/s2 per (chan, interval), kernel
+       operation order, the run's sk_threshold3 limits inlined;
+    2. neighbour fill: per masked cell, up to 5 nearest UNMASKED
+       channels each side (list_filter/list_sort/list_slice over the
+       interval's unmasked-channel list), per-sample per-side max
+       subtraction — every intermediate an exact integer — then ONE
+       float32-rounded division ``fill = f32(s1v / s2v)`` (the whole-
+       row-masked case degenerates to 0/-2*mact = -0.0 on both sides);
+    3. dedispersion: since filled cells are no longer integers, the
+       float32 channel-order accumulation is emulated exactly with
+       ``list_reduce(list(v ORDER BY chan), f32-rounded add)``.
+    """
+    from .plan import sk_threshold3
+
+    cfg = scenario_configs("tiny")["s3"]
+    lo, hi, status = sk_threshold3(cfg.mskz, cfg.sskz, float(cfg.nskz))
+    assert status == 0
+    m = cfg.mskz                       # 64; tiny: 8 full intervals
+    nd = float(cfg.nskz)
+    nchan = CORPORA["tiny"][1]
+    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    return f"""WITH samples AS (SELECT * FROM read_parquet('{path}')),
+{_delays_cte("tiny")},
+g AS (
+  SELECT doc_id, chan, CAST(t // {m} AS BIGINT) AS j,
+         CAST(SUM(value) AS DOUBLE) AS s1,
+         CAST(SUM(value * value) AS DOUBLE) AS s2
+  FROM samples GROUP BY 1, 2, 3
+), cellmask AS (
+  SELECT doc_id, chan, j,
+         CASE WHEN s1 = 0 THEN TRUE
+              ELSE (({m}.0 * {nd!r} + 1.0) / ({m}.0 - 1.0)
+                    * ({m}.0 * s2 / (s1 * s1) - 1.0)) < {lo!r}
+                OR (({m}.0 * {nd!r} + 1.0) / ({m}.0 - 1.0)
+                    * ({m}.0 * s2 / (s1 * s1) - 1.0)) > {hi!r}
+         END AS masked
+  FROM g
+), unm AS (
+  SELECT doc_id, j, list(chan ORDER BY chan) AS chans
+  FROM cellmask WHERE NOT masked GROUP BY doc_id, j
+), cells AS (
+  SELECT c.doc_id, c.j, c.chan AS i,
+         list_slice(list_filter(COALESCE(u.chans, []), x -> x > c.chan),
+                    1, 5) AS rs,
+         list_slice(list_sort(list_filter(COALESCE(u.chans, []),
+                                          x -> x < c.chan), 'DESC'),
+                    1, 5) AS ls
+  FROM cellmask c LEFT JOIN unm u ON c.doc_id = u.doc_id AND c.j = u.j
+  WHERE c.masked
+), sidechan AS (
+  SELECT doc_id, j, i, 'r' AS side, unnest(rs) AS sc FROM cells
+  UNION ALL
+  SELECT doc_id, j, i, 'l', unnest(ls) FROM cells
+), persamp AS (
+  -- per (cell, side, sample): side-channel sum and side max
+  SELECT sd.doc_id, sd.j, sd.i, sd.side, s.t,
+         SUM(s.value) AS sv, MAX(s.value) AS mx
+  FROM sidechan sd
+  JOIN samples s ON s.doc_id = sd.doc_id AND s.chan = sd.sc
+       AND s.t >= sd.j * {m} AND s.t < sd.j * {m} + {m}
+  GROUP BY 1, 2, 3, 4, 5
+), sidelen AS (
+  SELECT doc_id, j, i, side, COUNT(*) AS ln
+  FROM sidechan GROUP BY 1, 2, 3, 4
+), sideagg AS (
+  SELECT doc_id, j, i, side,
+         SUM(sv) - SUM(mx) AS s1c           -- zmax init 0.0; values >= 0
+  FROM persamp GROUP BY 1, 2, 3, 4
+), fills AS (
+  -- both sides, including EMPTY sides (s1 += 0, s2 -= mact per
+  -- empty side, skz.c:521-547); s2 = mact*(len-1) per nonempty side.
+  -- DuckDB returns NULL for x/0; the kernel's float division follows
+  -- IEEE (s2v==0 => +-inf, or NaN when s1v==0 too) — emulate it.
+  SELECT doc_id, j, i,
+         CAST(CASE WHEN den <> 0 THEN num / den
+                   WHEN num > 0 THEN 'infinity'::DOUBLE
+                   WHEN num < 0 THEN '-infinity'::DOUBLE
+                   ELSE 'nan'::DOUBLE END AS FLOAT) AS fill
+  FROM (
+  SELECT c.doc_id, c.j, c.i,
+         CAST(COALESCE(r.s1c, 0) + COALESCE(l.s1c, 0) AS DOUBLE) AS num,
+         (COALESCE({m} * (rl.ln - 1), -{m})
+          + COALESCE({m} * (ll.ln - 1), -{m})) AS den
+  FROM cells c
+  LEFT JOIN sideagg r ON r.doc_id = c.doc_id AND r.j = c.j
+       AND r.i = c.i AND r.side = 'r'
+  LEFT JOIN sideagg l ON l.doc_id = c.doc_id AND l.j = c.j
+       AND l.i = c.i AND l.side = 'l'
+  LEFT JOIN sidelen rl ON rl.doc_id = c.doc_id AND rl.j = c.j
+       AND rl.i = c.i AND rl.side = 'r'
+  LEFT JOIN sidelen ll ON ll.doc_id = c.doc_id AND ll.j = c.j
+       AND ll.i = c.i AND ll.side = 'l'
+  )
+), buf AS (
+  SELECT s.doc_id, s.nsamp, s.t, s.chan,
+         COALESCE(CAST(f.fill AS DOUBLE), CAST(s.value AS DOUBLE)) AS v
+  FROM samples s
+  LEFT JOIN fills f ON f.doc_id = s.doc_id AND f.i = s.chan
+       AND f.j = CAST(s.t // {m} AS BIGINT)
+), series AS (
+  SELECT b.doc_id, d.dm_index, b.t - d.delay AS t_out,
+         list_reduce(list(b.v ORDER BY b.chan),
+                     (a, x) -> CAST(CAST(a + x AS FLOAT) AS DOUBLE))
+             AS value
+  FROM buf b
+  JOIN delays d ON b.chan = d.chan
+  CROSS JOIN md
+  WHERE b.t - d.delay >= 0 AND b.t - d.delay < b.nsamp - md.max_delay
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
+       CAST(t_out AS BIGINT) AS t_out,
+       CASE WHEN isnan(value) THEN NULL
+            ELSE CAST(value AS DOUBLE) END AS value
+FROM series
+"""
+
+
 # ----- optimal (Levin-recurrence) DM list, D2a -----------------------------
 
 def _levin_constants(corpus: str) -> dict:
@@ -726,6 +870,7 @@ FLAGSHIP_QUERIES = {
     "dedisperse_masked": q_dedisperse_masked,
     "dedisperse_optimal_dm": q_dedisperse_optimal_dm,
     "dedisperse_skew_chunked": q_dedisperse_skew_chunked,
+    "dedisperse_sk_full": q_dedisperse_sk_full,
     "sk_metrics": q_sk_metrics,
     "clip_metrics": q_clip_metrics,
 }
@@ -743,6 +888,7 @@ def flagship_oracle_sql() -> dict[str, str]:
         "dedisperse_masked": masked_oracle_sql(),
         "dedisperse_optimal_dm": optimal_dm_oracle_sql(),
         "dedisperse_skew_chunked": skew_oracle_sql(),
+        "dedisperse_sk_full": sk_full_oracle_sql(),
         "sk_metrics": sk_metrics_oracle_sql(),
         "clip_metrics": clip_metrics_oracle_sql(),
     }
