@@ -460,6 +460,175 @@ def _clip_mask() -> "MaskSpec":
 
 CLIP_SIGMA = 6.0
 
+# Multi-block clip scenario for the series-level EWMA oracle:
+# blocksize 128 > max_delay 36 (dm_end 10 => 3 trials) gives 6 blocks
+# per 512-sample document, so the running averages really chain.
+CLIP_BLOCKSIZE = 128
+CLIP_DM_END = 10.0
+
+
+def _clip_full_cfg() -> RunConfig:
+    base = scenario_configs("tiny")["s0"]
+    return RunConfig(**{**base.__dict__, "config_id": "s_clipfull",
+                        "use_mask": True, "clip_sigma": CLIP_SIGMA,
+                        "blocksize": CLIP_BLOCKSIZE,
+                        "dm_end": CLIP_DM_END})
+
+
+def _clip_blocks() -> tuple[list[tuple[int, int]], int]:
+    """Deterministic (isamp, to_read) list of the block loop
+    (dragnet.cu:237-330) plus max_delay, computed at SQL-build time."""
+    from .plan import delay_samples
+
+    _nd, nchan, t, tsamp = CORPORA["tiny"]
+    h = Header()
+    dml = linear_dm_list(0.0, CLIP_DM_END, 5.0)
+    md = int(delay_samples(dml, delay_table(nchan, tsamp, h.fch1,
+                                            h.foff)).max())
+    blocks = []
+    isamp = 0
+    while True:
+        to_read = min(CLIP_BLOCKSIZE, t - isamp)
+        blocks.append((isamp, to_read))
+        isamp += to_read - md
+        if not isamp < t - md:
+            break
+    return blocks, md
+
+
+def q_dedisperse_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline with the time-domain clipper active across a
+    real multi-block run (W1's EWMA chaining over 6 blocks), full
+    output series — replacement values included — verified against the
+    DuckDB reconstruction (clip_full_oracle_sql unrolls the recurrence
+    block by block)."""
+    from .generate import corpus_df
+    from .pipeline import run_pipeline
+
+    export_samples("tiny")
+    rows = run_pipeline(corpus_df(spark, "tiny"), _clip_full_cfg(),
+                        _clip_mask())
+    return _decode_series(rows)
+
+
+def clip_full_oracle_sql() -> str:
+    """The clipper at series level, EWMA included (mask.c:556-677 +
+    dragnet.cu:301).  The 6-block recurrence is UNROLLED into chained
+    CTEs; every float32 narrowing in the kernel is replicated with a
+    CAST, every other intermediate is exact (integer zero-DM sums,
+    exact-representable deviations, one IEEE multiply per squared
+    term, exact divisions).  Replaced rows take the per-channel
+    running levels (float32), so the final dedispersion emulates the
+    float32 channel-order fold with list_reduce."""
+    blocks, md = _clip_blocks()
+    nchan = CORPORA["tiny"][1]
+    ndm = 3
+    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    parts = [f"""WITH {_delays_cte("tiny", ndm=ndm)},
+samples AS (SELECT * FROM read_parquet('{path}')),
+zd AS (
+  SELECT doc_id, t, CAST(SUM(value) AS DOUBLE) AS z
+  FROM samples GROUP BY 1, 2
+)"""]
+    outs = []
+    for b, (isamp, to_read) in enumerate(blocks):
+        win = f"t >= {isamp} AND t < {isamp + to_read}"
+        n = to_read
+        med_rn = (n - 1) // 2 + 1
+        parts.append(f""", m1_{b} AS (
+  SELECT doc_id, AVG(z) AS mean1 FROM zd WHERE {win} GROUP BY doc_id
+), ss_{b} AS (
+  SELECT zd.doc_id,
+         SUM((zd.z - m1.mean1) * (zd.z - m1.mean1)) AS ss
+  FROM zd JOIN m1_{b} m1 USING (doc_id) WHERE {win}
+  GROUP BY zd.doc_id
+), med_{b} AS (
+  SELECT doc_id, z AS medz FROM (
+    SELECT doc_id, z, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY z, t) AS rn
+    FROM zd WHERE {win})
+  WHERE rn = {med_rn}
+), cuts_{b} AS (
+  SELECT s.doc_id,
+         CAST(m.medz - 3.0 * SQRT(s.ss / {n - 1}.0) AS FLOAT) AS lo,
+         CAST(m.medz + 3.0 * SQRT(s.ss / {n - 1}.0) AS FLOAT) AS hi
+  FROM ss_{b} s JOIN med_{b} m USING (doc_id)
+), good_{b} AS (
+  SELECT zd.doc_id, zd.t, zd.z
+  FROM zd JOIN cuts_{b} c USING (doc_id)
+  WHERE {win} AND zd.z > c.lo AND zd.z < c.hi
+), gm_{b} AS (
+  SELECT doc_id, AVG(z) AS mean2, COUNT(*) AS ng
+  FROM good_{b} GROUP BY doc_id
+), gs_{b} AS (
+  SELECT g.doc_id,
+         SQRT(SUM((g.z - gm.mean2) * (g.z - gm.mean2))
+              / (gm.ng - 1)) AS std2
+  FROM good_{b} g JOIN gm_{b} gm USING (doc_id)
+  GROUP BY g.doc_id, gm.ng
+), ca_{b} AS (
+  SELECT s.doc_id, s.chan, AVG(CAST(s.value AS DOUBLE)) AS cavg
+  FROM samples s JOIN good_{b} g ON s.doc_id = g.doc_id AND s.t = g.t
+  GROUP BY 1, 2
+)""")
+        if b == 0:
+            parts.append(f""", ew_{b} AS (
+  SELECT gm.doc_id, CAST(gm.mean2 AS FLOAT) AS ravg,
+         CAST(gs.std2 AS FLOAT) AS rstd
+  FROM gm_{b} gm JOIN gs_{b} gs USING (doc_id)
+), cew_{b} AS (
+  SELECT doc_id, chan, CAST(cavg AS FLOAT) AS cra FROM ca_{b}
+)""")
+        else:
+            parts.append(f""", ew_{b} AS (
+  SELECT p.doc_id,
+         CAST(0.9 * CAST(p.ravg AS DOUBLE) + 0.1 * gm.mean2 AS FLOAT)
+             AS ravg,
+         CAST(0.9 * CAST(p.rstd AS DOUBLE) + 0.1 * gs.std2 AS FLOAT)
+             AS rstd
+  FROM ew_{b - 1} p
+  JOIN gm_{b} gm USING (doc_id) JOIN gs_{b} gs USING (doc_id)
+), cew_{b} AS (
+  SELECT p.doc_id, p.chan,
+         CAST(0.9 * CAST(p.cra AS DOUBLE) + 0.1 * ca.cavg AS FLOAT)
+             AS cra
+  FROM cew_{b - 1} p
+  JOIN ca_{b} ca ON ca.doc_id = p.doc_id AND ca.chan = p.chan
+)""")
+        parts.append(f""", bad_{b} AS (
+  SELECT zd.doc_id, zd.t
+  FROM zd JOIN ew_{b} e USING (doc_id)
+  WHERE {win}
+    AND ABS(CAST(zd.z - CAST(e.ravg AS DOUBLE) AS FLOAT))
+        > CAST(CAST(CAST({CLIP_SIGMA!r} AS FLOAT) AS DOUBLE)
+               * CAST(e.rstd AS DOUBLE) AS FLOAT)
+), buf_{b} AS (
+  SELECT s.doc_id, s.t, s.chan,
+         CASE WHEN b.t IS NOT NULL THEN CAST(cw.cra AS DOUBLE)
+              ELSE CAST(s.value AS DOUBLE) END AS v
+  FROM samples s
+  LEFT JOIN bad_{b} b ON b.doc_id = s.doc_id AND b.t = s.t
+  JOIN cew_{b} cw ON cw.doc_id = s.doc_id AND cw.chan = s.chan
+  WHERE s.t >= {isamp} AND s.t < {isamp + to_read}
+), out_{b} AS (
+  SELECT u.doc_id, d.dm_index, u.t - d.delay AS t_out,
+         list_reduce(list(u.v ORDER BY u.chan),
+                     (a, x) -> CAST(CAST(a + x AS FLOAT) AS DOUBLE))
+             AS value
+  FROM buf_{b} u
+  JOIN delays d ON u.chan = d.chan
+  WHERE u.t - {isamp} - d.delay >= 0
+    AND u.t - {isamp} - d.delay < {to_read - md}
+  GROUP BY 1, 2, 3
+)""")
+        outs.append(f"  SELECT * FROM out_{b}")
+    parts.append(", final AS (\n" + "\n  UNION ALL\n".join(outs) + "\n)\n")
+    parts.append(
+        "SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,\n"
+        "       CAST(t_out AS BIGINT) AS t_out,\n"
+        "       CAST(value AS DOUBLE) AS value\nFROM final\n")
+    return "".join(parts)
+
 
 def q_clip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-pipeline time-domain clipper (W1, single whole-document
@@ -871,6 +1040,7 @@ FLAGSHIP_QUERIES = {
     "dedisperse_optimal_dm": q_dedisperse_optimal_dm,
     "dedisperse_skew_chunked": q_dedisperse_skew_chunked,
     "dedisperse_sk_full": q_dedisperse_sk_full,
+    "dedisperse_clipped": q_dedisperse_clipped,
     "sk_metrics": q_sk_metrics,
     "clip_metrics": q_clip_metrics,
 }
@@ -889,6 +1059,7 @@ def flagship_oracle_sql() -> dict[str, str]:
         "dedisperse_optimal_dm": optimal_dm_oracle_sql(),
         "dedisperse_skew_chunked": skew_oracle_sql(),
         "dedisperse_sk_full": sk_full_oracle_sql(),
+        "dedisperse_clipped": clip_full_oracle_sql(),
         "sk_metrics": sk_metrics_oracle_sql(),
         "clip_metrics": clip_metrics_oracle_sql(),
     }
