@@ -612,7 +612,8 @@ zd AS (
   WHERE s.t >= {isamp} AND s.t < {isamp + to_read}
 ), out_{b} AS (
   SELECT u.doc_id, d.dm_index, u.t - d.delay AS t_out,
-         list_reduce(list(u.v ORDER BY u.chan),
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(u.v ORDER BY u.chan)),
                      (a, x) -> CAST(CAST(a + x AS FLOAT) AS DOUBLE))
              AS value
   FROM buf_{b} u
@@ -746,7 +747,13 @@ def sk_full_oracle_sql() -> str:
        row-masked case degenerates to 0/-2*mact = -0.0 on both sides);
     3. dedispersion: since filled cells are no longer integers, the
        float32 channel-order accumulation is emulated exactly with
-       ``list_reduce(list(v ORDER BY chan), f32-rounded add)``.
+       ``list_reduce(list(v ORDER BY chan), f32-rounded add)``, seeded
+       with +0.0 (``list_prepend``) so the fold reproduces the kernel's
+       zero-initialized accumulator (kernels.py dedisperse ``out = 0``
+       ≡ dedisp's ``sum = 0.f``): an all ``-0.0`` prefix then yields
+       IEEE ``(+0.0) + (-0.0) = +0.0``, bit-identical to the pipeline
+       (without the seed the fold starts at ``-0.0`` and the driver's
+       value-hash sees the sign bit).
     """
     from .plan import sk_threshold3
 
@@ -837,7 +844,8 @@ g AS (
        AND f.j = CAST(s.t // {m} AS BIGINT)
 ), series AS (
   SELECT b.doc_id, d.dm_index, b.t - d.delay AS t_out,
-         list_reduce(list(b.v ORDER BY b.chan),
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(b.v ORDER BY b.chan)),
                      (a, x) -> CAST(CAST(a + x AS FLOAT) AS DOUBLE))
              AS value
   FROM buf b
