@@ -415,12 +415,11 @@ def build_plan(header: Header, cfg: RunConfig,
             f"blocksize ({blocksize}/{ndec}) <= max DM delay ({max_delay})")
 
     if cfg.use_dt:
-        # PINNED restriction: adaptive scrunch needs the whole-document
-        # block (per-block tails of a partial scrunch group are
-        # undefined in the reference, which is off-by-default here).
-        if blocksize != header.nsamp:
-            raise ValueError("use_dt requires blocksize == nsamp "
-                             "(whole-document block)")
+        # PINNED semantics: the scrunch (D5) applies to the FINAL
+        # assembled series (run_pipeline / chunked reassembly), never
+        # per block — so any blocksize is well-defined here, unlike the
+        # reference where per-block tails of a partial scrunch group
+        # are undefined (use_dt is off-by-default there, dragnet.cu:56).
         dt_factors = dt_factor_list(dmlist, tsamp_dec, cfg.pulse_width,
                                     header.fch1, header.foff, header.nchan,
                                     cfg.dm_tol)

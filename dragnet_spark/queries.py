@@ -214,13 +214,16 @@ def _minhash_df(spark, sf_dir):
 
 def _lsh_candidate_pairs(mh: DataFrame) -> DataFrame:
     """Banded bucket self-join over a minhash DataFrame -> distinct
-    candidate pairs (doc_a < doc_b)."""
-    bands = None
-    for b in range(_N_BANDS):
-        part = mh.select(
-            "doc_id", F.lit(b).alias("b"),
-            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("v"))
-        bands = part if bands is None else bands.unionByName(part)
+    candidate pairs (doc_a < doc_b).
+
+    One ``posexplode`` of the band array (not a 4-way union): both
+    sides of the self-join then share the SAME minhash aggregation
+    subplan, whose shuffle Spark's exchange reuse computes once —
+    no persist needed."""
+    band_arr = F.array(*[
+        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+        for b in range(_N_BANDS)])
+    bands = mh.select("doc_id", F.posexplode(band_arr).alias("b", "v"))
     a = bands.alias("a")
     c = bands.alias("c")
     return (a.join(c, (F.col("a.b") == F.col("c.b"))
@@ -239,32 +242,26 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_jaccard(spark, sf_dir):
     """Exact 3-shingle Jaccard >= 0.5 over the LSH candidate pairs:
-    |A ^ B| via a shingle equi-join, |A u B| = |A|+|B|-|A ^ B|.
+    shingle SETS kept as per-doc arrays (``array_distinct``, a per-row
+    JVM op — no explode/distinct shuffle) and intersected JVM-side
+    (``array_intersect``) after joining each candidate pair to its two
+    docs' sets.
 
-    Scale shape: everything stays distributed.  The shingle set and the
-    minhash table are persisted because the plan references them
-    multiple times (candidate self-join + two semi-joins + sizes); the
-    candidate set itself is left to AQE, which broadcasts it at runtime
-    when it is small — no driver-side collect anywhere."""
+    Scale shape: the only shuffles are the minhash aggregation (its
+    exchange reused across both sides of the bucket self-join) and the
+    candidate-pair distinct; the two cand->sets joins broadcast the
+    (small) candidate side under AQE.  Nothing is persisted — nothing
+    leaks into the session cache (r2 verdict) — and each task holds at
+    most two documents' shingle arrays."""
     d = _t(spark, sf_dir, "documents")
-    sh = (d.select("doc_id", F.explode(_shingles()).alias("s"))
-          .distinct().persist())
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    mh = _minhash_df(spark, sf_dir).persist()
-    cand = _lsh_candidate_pairs(mh)
-    common = (cand
-              .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-              .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id"))
-                    & (F.col("sa.s") == F.col("sb.s")))
-              .groupBy("doc_a", "doc_b")
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    j = (common
-         .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-         .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
-         .select("doc_a", "doc_b",
-                 (F.col("n_common")
-                  / (F.col("za.sz") + F.col("zb.sz") - F.col("n_common")))
-                 .alias("jac")))
+    sets = d.select("doc_id", F.array_distinct(_shingles()).alias("ss"))
+    cand = _lsh_candidate_pairs(_minhash_df(spark, sf_dir))
+    pairs = (cand
+             .join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+             .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id")))
+    n_common = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    sz_union = (F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - n_common)
+    j = pairs.select("doc_a", "doc_b", (n_common / sz_union).alias("jac"))
     return (j.where(F.col("jac") >= 0.5)
             .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard")))
 

@@ -149,6 +149,18 @@ def parse_sigproc_header(buf: bytes) -> tuple[Header, int]:
         # re-scanned as length records — exactly the C behaviour)
 
     headersize = pos
+    # Validate BEFORE the nsamp inference (sigproc.cxx:49-56): the C
+    # code rejects nif!=1 / nbit!=8 explicitly; without this, nbit<8
+    # would change the division semantics (C's nchan*nif*(nbit/8) is a
+    # divide-by-zero; Python's grouped (nchan*nif*nbit)//8 silently
+    # returns a nonzero count) and nchan==0 would surface as a
+    # ZeroDivisionError instead of the reference's error message.
+    if h.nif != 1:
+        raise ValueError(f"Wrong number of polarizations ({h.nif}, not 1)")
+    if h.nbit != 8:
+        raise ValueError(f"Wrong bit depth ({h.nbit}, not 8)")
+    if h.nchan <= 0:
+        raise ValueError(f"Invalid number of channels ({h.nchan})")
     h.nsamp = (n - headersize) // (h.nchan * h.nif * h.nbit // 8)
     return h, headersize
 

@@ -124,15 +124,22 @@ def streaming_clipper(blocks: DataFrame, clip_sigma: float,
                            np.asarray(ca, dtype=np.float32), int(br))
         else:
             st = ClipState()
+        # Materialize the whole group before processing: a group's rows
+        # arrive as MULTIPLE Arrow chunks in shuffle order (>10k-row
+        # chunks, or interleaved delivery), so sorting each chunk
+        # independently could chain the order-sensitive EWMA recursion
+        # out of block order.  Block payloads are modest (the clipper
+        # is per-block metadata scale, not giant-doc scale), so the
+        # concat is bounded by the group's micro-batch slice.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
         rows = []
-        for pdf in pdfs:
-            for r in pdf.sort_values("block_id").itertuples(index=False):
-                data = np.frombuffer(bytes(r.payload), np.uint8) \
-                    .reshape(-1, nchan).astype(np.float32)
-                levels = np.zeros(nchan, dtype=np.float32)
-                ncl = clip_times(data, clip_sigma, levels, st)
-                rows.append((key[0], int(r.block_id), int(ncl),
-                             float(st.running_avg), float(st.running_std)))
+        for r in pdf.sort_values("block_id").itertuples(index=False):
+            data = np.frombuffer(bytes(r.payload), np.uint8) \
+                .reshape(-1, nchan).astype(np.float32)
+            levels = np.zeros(nchan, dtype=np.float32)
+            ncl = clip_times(data, clip_sigma, levels, st)
+            rows.append((key[0], int(r.block_id), int(ncl),
+                         float(st.running_avg), float(st.running_std)))
         state.update((float(st.running_avg), float(st.running_std),
                       [float(v) for v in st.chan_running_avg],
                       int(st.blocksread)))

@@ -18,14 +18,14 @@ CLIP_SIGMA = 6.0
 BLOCKSIZE = 128
 
 
-def _blocks():
+def _blocks(blocksize: int = BLOCKSIZE):
     """Tiny doc 0 (contains the broadband burst the clipper targets)
-    split into 4 sequential blocks."""
+    split into sequential blocks."""
     doc = make_document("tiny", 0)
     header, data, _ = decode_document(doc["spans"])
     blocks = [(doc["doc_id"], i, np.ascontiguousarray(
-        data[i * BLOCKSIZE:(i + 1) * BLOCKSIZE]).tobytes())
-        for i in range(data.shape[0] // BLOCKSIZE)]
+        data[i * blocksize:(i + 1) * blocksize]).tobytes())
+        for i in range(data.shape[0] // blocksize)]
     return header, blocks
 
 
@@ -76,6 +76,35 @@ def test_streaming_clipper_state_across_microbatches(spark, tmp_path):
     got = {r.block_id: (r.doc_id, r.block_id, r.n_clipped,
                         r.running_avg, r.running_std)
            for r in spark.table("clip_state_test").collect()}
+
+    assert len(got) == len(truth)
+    for want in truth:
+        assert got[want[1]] == want, (got[want[1]], want)
+
+
+def test_streaming_clipper_multichunk_out_of_order(spark, tmp_path):
+    """A group's rows arrive as MULTIPLE Arrow chunks (128 block rows >
+    the session's 64-row maxRecordsPerBatch) in shuffled order; the
+    clipper must materialize the whole group and chain the EWMA in
+    block_id order — per-chunk sorting would silently diverge."""
+    header, blocks = _blocks(blocksize=4)    # 128 rows for one doc_id
+    assert len(blocks) > 64                  # forces >=2 Arrow chunks
+    truth = _batch_truth(header, blocks)
+
+    d = tmp_path / "stream_in2"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    shuffled = [blocks[i] for i in rng.permutation(len(blocks))]
+    _write_block_file(str(d / "000.parquet"), shuffled)
+
+    stream = spark.readStream.schema(BLOCK_SCHEMA).parquet(str(d))
+    result = streaming_clipper(stream, CLIP_SIGMA, header.nchan)
+    q = (result.writeStream.format("memory").queryName("clip_chunk_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.block_id: (r.doc_id, r.block_id, r.n_clipped,
+                        r.running_avg, r.running_std)
+           for r in spark.table("clip_chunk_test").collect()}
 
     assert len(got) == len(truth)
     for want in truth:
