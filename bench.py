@@ -195,11 +195,20 @@ def driver_bench() -> None:
                          "props string").count()
     except Exception as exc:  # noqa: BLE001
         errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:200]
+    # Best-of-2 per query: single-shot numbers on this Firecracker VM
+    # can land 2-6x over their true cost (the r2 round saw a 15-row
+    # dimension lookup jump 1.1 -> 6.8 s on unchanged code); the second
+    # run of an identical plan is the cheapest honest deflake — same
+    # treatment the flagship gets below.
     for name, fn in qs.items():
-        t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — one bad query must not
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]  # kill bench
 

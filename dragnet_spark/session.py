@@ -9,9 +9,32 @@ for executors.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import SparkSession
+
+
+def find_iceberg_jar() -> str | None:
+    """Locate an Iceberg Spark runtime jar, if one is present: an
+    explicit ``$SPARK_GRAFT_ICEBERG_JAR``, else any
+    ``iceberg-spark-runtime*.jar`` under the pyspark jars dir or
+    ``$SPARK_GRAFT_JARS_DIR``.  Returns None when absent (this sandbox
+    ships no Iceberg runtime; the engine then runs on parquet with an
+    identical table surface — see dragnet_spark/io.py)."""
+    explicit = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if explicit:
+        return explicit if os.path.exists(explicit) else None
+    import pyspark
+    dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    extra = os.environ.get("SPARK_GRAFT_JARS_DIR")
+    if extra:
+        dirs.append(extra)
+    for d in dirs:
+        hits = sorted(glob.glob(os.path.join(d, "iceberg-spark-runtime*.jar")))
+        if hits:
+            return hits[0]
+    return None
 
 
 def get_spark(app_name: str = "dragnet-spark", cores: int | None = None,
@@ -58,4 +81,23 @@ def get_spark(app_name: str = "dragnet-spark", cores: int | None = None,
                 f"-Xms{mem} -XX:G1HeapRegionSize=32m")
         .config("spark.ui.enabled", "false")
     )
+    # Iceberg catalog, auto-wired when a runtime jar is present (the
+    # north rule's table format): a `local` Hadoop catalog so
+    # `table:local.db.<name>` sources/sinks in io.py resolve.  With no
+    # jar (this sandbox) nothing is configured and parquet is the
+    # (identical-surface) fallback.
+    jar = find_iceberg_jar()
+    if jar:
+        builder = (
+            builder
+            .config("spark.jars", jar)
+            .config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions."
+                    "IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.local",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse",
+                    os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE",
+                                   "/tmp/dragnet_iceberg_warehouse")))
     return builder.getOrCreate()

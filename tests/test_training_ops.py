@@ -111,3 +111,45 @@ def test_io_iceberg_missing_is_explicit(spark):
         pytest.skip("Iceberg runtime present")
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         read_documents(spark, "table:lake.db.documents")
+
+
+# --------------------------------------------------------------------------
+# Banded-LSH near-dup: recall pinned against exact ground truth
+# --------------------------------------------------------------------------
+
+def test_embedding_near_dup_recall_pinned(spark):
+    """The driver oracle generates the SAME candidates as the query, so
+    it verifies implementation parity but cannot see recall loss (r2
+    advice).  This pins recall against an EXACT all-pairs ground truth
+    on the sf0.01 embeddings (500 x 64): every emitted pair must be a
+    true cosine>=0.45 pair (precision 1.0 — exact cosine runs on the
+    candidates), and the deterministic 4x8-band candidate generation
+    must keep recovering its measured 3/14 pairs — if the banding or
+    hyperplanes regress, this fails loudly instead of silently."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_embedding_near_dup
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    V = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), 1)
+    cs = C[iu]
+    # exclude last-ulp threshold ambiguity between the numpy dot and
+    # the query's sequential fold (none on this fixture, asserted)
+    assert (np.abs(cs - 0.45) < 1e-9).sum() == 0
+    qual = {(int(ids[i]), int(ids[j]))
+            for i, j in zip(iu[0][cs >= 0.45], iu[1][cs >= 0.45])}
+    assert len(qual) == 14                     # fixture ground truth
+
+    got = {(r.vec_a, r.vec_b)
+           for r in q_embedding_near_dup(spark, sf).collect()}
+    assert got <= qual                         # precision 1.0
+    assert len(got) == 3                       # pinned recall 3/14 (~0.21,
+    # consistent with the 1-(1-p)^4 ~ 0.12 theory at this hard
+    # s=0.45 setting; see the operator docstring for the knobs)
