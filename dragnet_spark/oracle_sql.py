@@ -181,6 +181,48 @@ JOIN sizes zb ON doc_b = zb.doc_id
 WHERE n_common / (za.sz + zb.sz - n_common) >= 0.5
 """
 
+# Connected components of the verified near-dup graph: reachability by
+# a recursive CTE (UNION dedups, so it terminates), then MIN over the
+# reachable labels == lexicographic-min vertex of the component —
+# exactly the fixpoint the Spark min-label propagation converges to.
+ORACLE_SQL["dedup_components"] = "WITH RECURSIVE " + _MINHASH_CTE + """,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id AND sa.s = sb.s
+  GROUP BY cand.doc_a, cand.doc_b
+),
+jpair AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes za ON doc_a = za.doc_id
+  JOIN sizes zb ON doc_b = zb.doc_id
+  WHERE n_common / (za.sz + zb.sz - n_common) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpair
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpair
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, MIN(comp) AS component_id FROM reach GROUP BY doc_id
+"""
+
+ORACLE_SQL["token_topk"] = """
+SELECT tok, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 20
+"""
+
 ORACLE_SQL["text_quality"] = """
 SELECT doc_id, lang,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -702,6 +702,87 @@ def _q_media_features(spark, sf_dir):
     return q_media_features(spark, sf_dir)
 
 
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected edge list ``(doc_a, doc_b)`` -> ``(doc_id,
+    component_id)`` with ``component_id`` = the lexicographic-min
+    vertex of the component.  Vertices are the edge endpoints
+    (singletons are their own trivial component and are omitted —
+    callers can left-join them back).
+
+    Pregel-style loop: each round every vertex takes the min of its
+    own label and its neighbours' labels (one equi-join + one groupBy
+    per round); converges in graph-diameter rounds, checked with an
+    exact changed-label count.  For dedup graphs the diameter is tiny
+    (clusters of near-identical documents), so this is the right scale
+    shape; billion-vertex general graphs would swap this loop for the
+    alternating large-star/small-star algorithm — same contract.
+
+    Driver-side state is two scalars (iteration count, changed count).
+    Intermediates are cached per round and unpersisted; the RETURNED
+    DataFrame is a pure recomputable plan (k nested joins) holding no
+    cached state — nothing leaks into the session cache."""
+    sym = (edges.selectExpr("doc_a AS src", "doc_b AS dst")
+           .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst")))
+
+    def step(lbl: DataFrame, e: DataFrame) -> DataFrame:
+        neigh = (e.join(lbl.withColumnRenamed("doc_id", "src"), "src")
+                 .groupBy(F.col("dst").alias("doc_id"))
+                 .agg(F.min("comp").alias("ncomp")))
+        return (lbl.join(neigh, "doc_id", "left")
+                .select("doc_id",
+                        F.least("comp", F.coalesce("ncomp", "comp"))
+                         .alias("comp")))
+
+    edges_c = sym.persist()
+    verts = (edges_c.select(F.col("src").alias("doc_id")).distinct()
+             .select("doc_id", F.col("doc_id").alias("comp")))
+    labels, cached, iters = verts, None, 0
+    try:
+        for _ in range(max_iters):
+            nxt = step(labels, edges_c).persist()
+            changed = (nxt.alias("n")
+                       .join(labels.alias("o"), "doc_id")
+                       .where(F.col("n.comp") != F.col("o.comp")).count())
+            if cached is not None:
+                cached.unpersist()
+            labels, cached = nxt, nxt
+            iters += 1
+            if changed == 0:
+                break
+    finally:
+        # Rebuild the converged result as an uncached pure plan, then
+        # drop every cache this function created.
+        plan = verts
+        for _ in range(iters):
+            plan = step(plan, sym)
+        if cached is not None:
+            cached.unpersist()
+        edges_c.unpersist()
+    return plan.select("doc_id", F.col("comp").alias("component_id"))
+
+
+def q_dedup_components(spark, sf_dir):
+    """Canonical dedup groups: connected components of the verified
+    near-dup graph (edges = LSH-candidate pairs with exact 3-shingle
+    Jaccard >= 0.5, i.e. q_dedup_jaccard), component id = min doc_id —
+    the 'keep one representative per duplicate cluster' primitive of a
+    training-data pipeline (transitive closure, not just pairs)."""
+    edges = q_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(edges)
+
+
+def q_token_topk(spark, sf_dir):
+    """Global heavy hitters: top-20 tokens by count, ties broken by
+    token — map-side partial aggregation then a single TakeOrdered
+    (no full sort at scale)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("tok"))
+            .limit(20))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -732,4 +813,6 @@ QUERIES = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "media_features": _q_media_features,
     "windowed_stats": q_windowed_stats,
+    "dedup_components": q_dedup_components,
+    "token_topk": q_token_topk,
 }

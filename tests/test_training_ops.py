@@ -153,3 +153,23 @@ def test_embedding_near_dup_recall_pinned(spark):
     assert len(got) == 3                       # pinned recall 3/14 (~0.21,
     # consistent with the 1-(1-p)^4 ~ 0.12 theory at this hard
     # s=0.45 setting; see the operator docstring for the knobs)
+
+
+def test_connected_components_toy_graph(spark):
+    """Min-label propagation on a known graph: chain a-b-c-d (diameter
+    3), triangle e-f-g, pair h-i => three components labelled by their
+    min vertex; convergence needs multiple rounds for the chain."""
+    from dragnet_spark.queries import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"),
+         ("e", "f"), ("f", "g"), ("e", "g"),
+         ("i", "h")], ["doc_a", "doc_b"])
+    got = {(r.doc_id, r.component_id)
+           for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                   ("e", "e"), ("f", "e"), ("g", "e"),
+                   ("h", "h"), ("i", "h")}
+    # leak check: nothing this call cached may persist in the session
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().isEmpty()
