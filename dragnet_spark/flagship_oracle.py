@@ -519,7 +519,10 @@ def clip_full_oracle_sql() -> str:
     exact-representable deviations, one IEEE multiply per squared
     term, exact divisions).  Replaced rows take the per-channel
     running levels (float32), so the final dedispersion emulates the
-    float32 channel-order fold with list_reduce."""
+    float32 channel-order fold with list_reduce, seeded with +0.0 via
+    list_prepend (the kernel's zero-initialized accumulator) so a
+    negative-zero replacement value in channel 0 cannot flip the
+    fold's sign bit vs the pipeline."""
     blocks, md = _clip_blocks()
     nchan = CORPORA["tiny"][1]
     ndm = 3

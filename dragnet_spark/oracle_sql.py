@@ -563,3 +563,32 @@ LIMIT 5
            ab=_DOTSQL.format(a="embedding", b="qe"),
            aa=_DOTSQL.format(a="embedding", b="embedding"),
            bb=_DOTSQL.format(a="qe", b="qe"))
+
+ORACLE_SQL["ann_ivf_multiprobe"] = """
+WITH cells AS (
+  SELECT vec_id, embedding, {cell} AS cell FROM embeddings
+), q AS (
+  SELECT embedding AS qe, cell AS qcell FROM cells WHERE vec_id = 0
+)
+SELECT vec_id, cell,
+       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
+FROM cells, q
+WHERE vec_id <> 0
+  AND (cell = qcell OR cell = xor(qcell, 1) OR cell = xor(qcell, 2)
+       OR cell = xor(qcell, 4) OR cell = xor(qcell, 8))
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""".format(cell=_CELL4,
+           ab=_DOTSQL.format(a="embedding", b="qe"),
+           aa=_DOTSQL.format(a="embedding", b="embedding"),
+           bb=_DOTSQL.format(a="qe", b="qe"))
+
+ORACLE_SQL["sample_stratified"] = """
+SELECT lang, COUNT(*) AS n_total,
+       SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT % 100 < 20
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

@@ -604,6 +604,45 @@ def q_ann_ivf_topk(spark, sf_dir):
             .limit(5))
 
 
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """Multiprobe IVF: probe the query's coarse cell PLUS its 4
+    Hamming-1 neighbour cells (flip each sign bit of the 4-bit LSH
+    cell) — the standard recall lever of IVF search: 5/16ths of the
+    corpus scanned instead of 1/16th, recovering neighbours that fall
+    just across a hyperplane.  Cell stays the partition key at scale;
+    the probe set is a 5-element broadcast literal array."""
+    e = _t(spark, sf_dir, "embeddings").withColumn("cell", _lsh_bucket(4))
+    q = F.broadcast(e.where(F.col("vec_id") == 0)
+                    .select(F.col("embedding").cast("array<double>")
+                            .alias("qe"), F.col("cell").alias("qcell")))
+    probes = F.array(F.col("qcell"),
+                     *[F.col("qcell").bitwiseXOR(F.lit(2 ** i))
+                       for i in range(4)])
+    cos = _cosine(F.col("embedding").cast("array<double>"), F.col("qe"))
+    return (e.where(F.col("vec_id") != 0).crossJoin(q)
+            .where(F.array_contains(probes, F.col("cell")))
+            .select("vec_id", F.col("cell").cast("bigint").alias("cell"),
+                    F.round(cos, 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(5))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsampling — the reproducible
+    sampling primitive of a training-data pipeline: keep a document
+    iff the first 8 hex digits of md5(doc_id) mod 100 < 20 (a content-
+    independent, engine-portable 20% rate), reported per language.
+    Pure map-side predicate + one partial-aggregated groupBy; at
+    100 TB the same predicate is a pushdown-able filter on any scan."""
+    d = _t(spark, sf_dir, "documents")
+    keep = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("bigint") % 100 < 20)
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(keep.cast("bigint")).alias("n_kept"))
+            .orderBy("lang"))
+
+
 def _qdot(a, b):
     """Exact BIGINT dot product of two quantized vectors."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -815,4 +854,6 @@ QUERIES = {
     "windowed_stats": q_windowed_stats,
     "dedup_components": q_dedup_components,
     "token_topk": q_token_topk,
+    "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+    "sample_stratified": q_sample_stratified,
 }
