@@ -130,3 +130,51 @@ def q_media_features(spark, sf_dir: str) -> DataFrame:
     equality proves the pack -> binary -> parse roundtrip."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return decode_media_features(attach_media_payload(docs))
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame_mean", DoubleType(), False),
+    StructField("out_width", IntegerType(), False),
+    StructField("out_height", IntegerType(), False),
+])
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame-sample + resize stage (the video-pipeline pattern): every
+    ``stride``-th frame of each payload is sliced out of the binary
+    body (a per-frame NumPy view, no copy of the rest), its pixel mean
+    computed, and the 'resized' half-resolution dims emitted — one
+    output row per sampled frame (a UDTF-shaped 1->N mapInPandas).
+    The real resample kernel is the same stubbed decode boundary as
+    decode_with_library; the Spark-side plumbing (binary slicing,
+    batch fan-out, schema) is real and oracle-checked."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:4] != MAGIC:  # pragma: no cover - stub path
+                    decode_with_library(raw)
+                    continue
+                w, h, nf = struct.unpack_from("<HHB", raw, 4)
+                body = np.frombuffer(raw, dtype=np.uint8,
+                                     offset=9).reshape(nf, _FRAME_BYTES)
+                for i in range(0, nf, stride):
+                    rows.append({
+                        "doc_id": int(doc_id), "frame_idx": i,
+                        "frame_mean": float(body[i].mean()),
+                        "out_width": max(1, w // 2),
+                        "out_height": max(1, h // 2)})
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def q_media_frame_sample(spark, sf_dir: str) -> DataFrame:
+    """documents -> binary media column -> stride-2 frame sampling with
+    half-resolution resize dims; oracle recomputes arithmetically from
+    doc_id (frames are deterministic fill bytes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(attach_media_payload(docs))

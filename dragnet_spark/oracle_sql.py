@@ -472,6 +472,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents
 """
 
+# Frame sampling + resize: one row per stride-2 frame index; frames of
+# the deterministic FIMG payload are constant fill bytes, so the
+# per-frame mean is (doc_id*31)%251 exactly (proving the per-frame
+# binary slice); resize dims = floor-half of the packed width/height.
+ORACLE_SQL["media_frame_sample"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(unnest(range(0, 1 + doc_id % 8, 2)) AS INT) AS frame_idx,
+       CAST((doc_id * 31) % 251 AS DOUBLE) AS frame_mean,
+       CAST(GREATEST(1, (64 + (doc_id * 7) % 192) // 2) AS INT)
+           AS out_width,
+       CAST(GREATEST(1, (64 + (doc_id * 13) % 128) // 2) AS INT)
+           AS out_height
+FROM documents
+"""
+
 # IVF with learned centroids (one exact-arithmetic Lloyd update over
 # floor-quantized integer vectors; see queries.q_ann_ivf_kmeans for the
 # determinism argument: BIGINT numerators < 2^53, one IEEE division).

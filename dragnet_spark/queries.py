@@ -741,6 +741,12 @@ def _q_media_features(spark, sf_dir):
     return q_media_features(spark, sf_dir)
 
 
+def _q_media_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling + resize dims (see multimodal.py)."""
+    from .multimodal import q_media_frame_sample
+    return q_media_frame_sample(spark, sf_dir)
+
+
 def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected edge list ``(doc_a, doc_b)`` -> ``(doc_id,
@@ -856,4 +862,5 @@ QUERIES = {
     "token_topk": q_token_topk,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "sample_stratified": q_sample_stratified,
+    "media_frame_sample": _q_media_frame_sample,
 }

@@ -173,3 +173,12 @@ def test_connected_components_toy_graph(spark):
     # leak check: nothing this call cached may persist in the session
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().isEmpty()
+
+
+def test_media_frame_sample_stride(spark):
+    from dragnet_spark.multimodal import q_media_frame_sample
+    rows = q_media_frame_sample(spark, SF).where("doc_id = 7").collect()
+    # doc 7: n_frames = 1 + 7%8 = 8 -> stride-2 sampled frames 0,2,4,6
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4, 6]
+    assert all(r.frame_mean == float((7 * 31) % 251) for r in rows)
+    assert rows[0].out_width == (64 + 7 * 7 % 192) // 2
