@@ -230,13 +230,14 @@ def driver_bench() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]  # kill bench
 
     # Flagship at bench scale (1024 docs, 1 GiB raw spectra).
-    # 3 warm-ups + best-of-2 timed: a single cold run on this
-    # Firecracker VM can land 2-5x over the pinned BASELINE.md median
-    # (kernel-side jitter, see BENCH/BASELINE.md caveat) — best-of-2
-    # after warm-up is the cheapest deflake that stays honest.
+    # 3 warm-ups + best-of-3 timed: identical code measures anywhere in
+    # a 4x band on this Firecracker VM within ONE session (e.g.
+    # 22.5/11.7/5.3/9.2 s consecutively, 2026-08-17) — the minimum is
+    # the only stable observable (kernel-side jitter, see
+    # BENCH/BASELINE.md caveat).
     for _ in range(3):  # warm-up (JIT of generated code, Arrow paths)
         run_flagship(spark, ndocs)
-    fl = min(run_flagship(spark, ndocs) for _ in range(2))
+    fl = min(run_flagship(spark, ndocs) for _ in range(3))
     timings["dedisperse_bench"] = round(fl, 3)
     spark.stop()
 

@@ -782,7 +782,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     edges_c = sym.persist()
     verts = (edges_c.select(F.col("src").alias("doc_id")).distinct()
              .select("doc_id", F.col("doc_id").alias("comp")))
-    labels, cached, iters = verts, None, 0
+    labels, cached, iters, converged = verts, None, 0, False
     try:
         for _ in range(max_iters):
             nxt = step(labels, edges_c).persist()
@@ -794,12 +794,14 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             labels, cached = nxt, nxt
             iters += 1
             if changed == 0:
+                converged = True
                 break
     finally:
         # Rebuild the converged result as an uncached pure plan, then
-        # drop every cache this function created.
+        # drop every cache this function created.  The converged round
+        # changed no label, so the fixpoint needs only iters-1 steps.
         plan = verts
-        for _ in range(iters):
+        for _ in range(iters - 1 if converged else iters):
             plan = step(plan, sym)
         if cached is not None:
             cached.unpersist()
