@@ -120,6 +120,11 @@ def scenario_configs(corpus: str) -> dict[str, RunConfig]:
                         blocksize=bs, **base),
         # multi-block, single-decimation variant
         "s6": RunConfig(config_id="s6", blocksize=bs, **base),
+        # adaptive time scrunch (D5): wide DM range so high-DM trials
+        # get dt factors > 1; whole-document block by default (chunked
+        # runs scrunch after reassembly, pipeline.run_pipeline_chunked)
+        "s7": RunConfig(config_id="s7", use_dt=True, prefix="test",
+                        dm_start=0.0, dm_end=120.0, dm_step=20.0),
     }
     if corpus in ("bench", "scale"):
         for c in cfgs.values():

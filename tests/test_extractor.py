@@ -257,11 +257,9 @@ def test_adaptive_dt_pipeline_equals_oracle(spark):
     import base64
     from dragnet_spark.generate import make_corpus, scenario_configs
     from dragnet_spark.oracle import run_corpus
-    from dragnet_spark.params import RunConfig
     from dragnet_spark.pipeline import docs_to_df, run_pipeline
 
-    cfg = RunConfig(config_id="sdt", prefix="test", dm_start=0.0,
-                    dm_end=120.0, dm_step=20.0, use_dt=True)
+    cfg = scenario_configs("tiny")["s7"]       # the adaptive-dt scenario
     docs = make_corpus("tiny")
     want = {d["doc_id"]: d["spans"] for d in run_corpus(docs, cfg)}
     rows = run_pipeline(docs_to_df(spark, docs), cfg, None)
