@@ -58,6 +58,31 @@ def stream_events(spark: SparkSession, sf_dir: str,
             .withWatermark("ts", watermark))
 
 
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: watermarked ``dropDuplicates`` on
+    the event key — Spark keeps one state-store entry per key and
+    expires it once the watermark passes, so the dedup state is bounded
+    by the lateness horizon instead of the stream's full history (the
+    scale property batch dedup lacks).  Counts per event_type so the
+    result is a small deterministic relation."""
+    return (events.dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique")))
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str,
+                        table: str = "stream_dedup") -> DataFrame:
+    """Run the watermarked streaming dedup to completion (availableNow)
+    and return the materialized result."""
+    q = (streaming_dedup(stream_events(spark, sf_dir))
+         .writeStream.format("memory").queryName(table)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def run_streaming_stats(spark: SparkSession, sf_dir: str,
                         table: str = "stream_stats") -> DataFrame:
     """Run the windowed stats over the file stream to completion

@@ -182,3 +182,19 @@ def test_media_frame_sample_stride(spark):
     assert sorted(r.frame_idx for r in rows) == [0, 2, 4, 6]
     assert all(r.frame_mean == float((7 * 31) % 251) for r in rows)
     assert rows[0].out_width == (64 + 7 * 7 % 192) // 2
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """Watermarked streaming dropDuplicates == batch distinct, counted
+    per event_type (state bounded by the lateness horizon at scale)."""
+    from pyspark.sql import functions as F
+    from dragnet_spark.streaming import run_streaming_dedup
+
+    got = {(r.event_type, r.n_unique)
+           for r in run_streaming_dedup(spark, SF,
+                                        table="t_dedup_parity").collect()}
+    batch = (spark.read.parquet(f"{SF}/events.parquet")
+             .dropDuplicates(["event_id"])
+             .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    want = {(r.event_type, r.n) for r in batch.collect()}
+    assert got == want and len(got) > 0
