@@ -339,6 +339,38 @@ SELECT doc_id, CAST(""" + " + ".join(
 FROM s
 """
 
+# SimHash near-dup pairs: 32-bit signature (16 bits saturates this
+# corpus), banded 4x8-bit candidate buckets, exact Hamming (bit_count
+# of xor) <= 1 verification — same arithmetic as
+# queries.q_dedup_simhash_pairs.
+ORACLE_SQL["dedup_simhash_pairs"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), s AS (
+  SELECT doc_id, """ + ",\n         ".join(
+    f"SUM({_HEXBIT.format(pos=i + 1)}) AS s{i}" for i in range(32)
+) + """
+  FROM b GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST(""" + " + ".join(
+    f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(32)
+) + """ AS BIGINT) AS sig
+  FROM s
+), bands AS (
+  SELECT doc_id, sig, b.band,
+         (sig >> (8 * b.band)) & 255 AS v
+  FROM sig, (SELECT unnest(range(4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, c.sig)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands c ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.sig, c.sig)) <= 1
+"""
+
 _LANG_MARKERS = {
     "en": ("the", "a", "table", "row"),
     "de": ("hash", "join", "key", "big"),

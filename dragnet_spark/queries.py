@@ -430,6 +430,41 @@ def q_dedup_simhash(spark, sf_dir):
     return per.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (completes the simhash dedup path): a
+    32-bit signature (the 16-bit per-doc operator saturates on this
+    corpus — 220 distinct values over 500 docs — so the pairs operator
+    doubles the width) banded into 4x8-bit keys; docs colliding in any
+    band are candidates (bucketed self-join — at scale each task
+    touches one band-bucket, never all pairs); candidates verify with
+    the exact Hamming distance (bit_count of XOR) <= 1."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(
+                F.array_distinct(F.split("text", " "))).alias("tok"))
+            .withColumn("h", F.md5("tok")))
+    per = toks.groupBy("doc_id").agg(
+        *[F.sum(_hexbit("h", i)).alias(f"s{i}") for i in range(32)])
+    fp = F.lit(0).cast("bigint")
+    for i in range(32):
+        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    sig = per.select("doc_id", fp.cast("bigint").alias("sig"))
+    bands = sig.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftright("sig", 8 * b).bitwiseAND(F.lit(255))
+            for b in range(4)])).alias("band", "v"))
+    a, c = bands.alias("a"), bands.alias("c")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("c.sig")))
+    return (a.join(c, (F.col("a.band") == F.col("c.band"))
+                   & (F.col("a.v") == F.col("c.v"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .where(ham <= 1)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"),
+                    ham.cast("bigint").alias("hamming"))
+            .distinct())
+
+
 # Marker-token profiles for the n-gram-heuristic language classifier.
 # The corpus vocabulary is shared across langs (synthetic), so these are
 # fixed mechanism profiles; correctness = oracle equality, not accuracy.
@@ -865,4 +900,5 @@ QUERIES = {
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "sample_stratified": q_sample_stratified,
     "media_frame_sample": _q_media_frame_sample,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
