@@ -277,3 +277,18 @@ def test_adaptive_dt_pipeline_equals_oracle(spark):
     lens = {len(base64.b64decode(s["text"])) // 4
             for s in next(iter(want.values())) if s["kind"] == "timeseries"}
     assert len(lens) > 1
+
+
+def test_chunked_path_with_decimation(spark):
+    """JVM strip slicing + chunk bounds under ndec=2 (all bounds must
+    stay multiples of ndec; the decimated block loop then reproduces
+    the whole-document boundaries)."""
+    docs, df = _docs_df(spark, "skew")
+    cfg = scenario_configs("skew")["s4"]       # ndec=2
+    cfg.blocksize = 1536                       # 768 decimated > max_delay
+    got = _collect_sequences(
+        run_pipeline_chunked(df, cfg, None, blocks_per_chunk=2))
+    want = _oracle_sequences(docs, cfg, None)
+    assert got.keys() == want.keys()
+    for doc_id in want:
+        assert got[doc_id] == want[doc_id], f"ndec chunked mismatch {doc_id}"
