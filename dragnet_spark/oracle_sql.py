@@ -630,6 +630,44 @@ LIMIT 5
            aa=_DOTSQL.format(a="embedding", b="embedding"),
            bb=_DOTSQL.format(a="qe", b="qe"))
 
+# Deterministic HLL: identical bucket/rank arithmetic and the SAME
+# inlined numerator constant as queries.q_approx_distinct_hll (imported
+# so the two sides cannot drift); the register sum is exact in double,
+# so the single division is bit-identical across engines.
+from .queries import _HLL_CAP as _HC, _HLL_M as _HM, _HLL_NUM as _HN  # noqa: E402
+
+ORACLE_SQL["approx_distinct_hll"] = f"""
+WITH hh AS (
+  SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders
+), rk AS (
+  SELECT ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+         length(regexp_extract(substr(h, 3, 30), '^0*')) AS nz,
+         substr(h, 3 + length(regexp_extract(substr(h, 3, 30), '^0*')), 1)
+             AS c
+  FROM hh
+), rnk AS (
+  SELECT bucket,
+         CASE WHEN nz >= 30 THEN {_HC}
+              ELSE LEAST(nz * 4 +
+                         CASE WHEN c = '1' THEN 3
+                              WHEN c IN ('2', '3') THEN 2
+                              WHEN c IN ('4', '5', '6', '7') THEN 1
+                              ELSE 0 END + 1, {_HC}) END AS r
+  FROM rk
+), regs AS (
+  SELECT bucket, MAX(r) AS r FROM rnk GROUP BY bucket
+), agg AS (
+  SELECT COUNT(*) AS npresent,
+         SUM(POW(2.0, {_HC} - r)) AS ssum
+  FROM regs
+)
+SELECT CAST({_HM} AS BIGINT) AS m,
+       (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_exact,
+       ROUND({_HN!r} / (ssum + ({_HM} - npresent) * {float(2 ** _HC)!r}), 6)
+           AS est_hll
+FROM agg
+"""
+
 ORACLE_SQL["sample_stratified"] = """
 SELECT lang, COUNT(*) AS n_total,
        SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -782,6 +782,56 @@ def _q_media_frame_sample(spark, sf_dir):
     return q_media_frame_sample(spark, sf_dir)
 
 
+_HLL_M = 256                         # 2^8 buckets (first 2 md5 hex chars)
+_HLL_CAP = 40                        # rank cap: sum(2^(CAP-r)) <= 2^48,
+#                                      EXACT in IEEE double in any order
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# est = alpha*m^2 / sum(2^-r) = (alpha*m^2*2^CAP) / sum(2^(CAP-r));
+# the numerator constant is inlined via repr on BOTH engines, the
+# denominator is an exactly-representable double -> ONE deterministic
+# IEEE division, no libm anywhere.
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(2 ** _HLL_CAP)
+
+
+def q_approx_distinct_hll(spark, sf_dir):
+    """Deterministic HyperLogLog (the 'novel sketch' slot): md5-hashed
+    keys, 256 buckets (first byte), register = max rank of the
+    remaining 120 bits (capped at 40), raw HLL estimate with NO
+    small-range correction (the domain, orders keys, sits far above
+    2.5m so the raw estimator is the defined semantics — and the whole
+    computation is libm-free, so Spark and DuckDB agree bit-for-bit;
+    see the module constants for the exactness argument).  At scale
+    this is one map-side partial max per bucket + a 256-row final agg
+    — the classic mergeable-sketch shape."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"))
+    tail = F.substring("h", 3, 30)
+    nz = F.length(F.regexp_extract(tail, "^0*", 0))
+    c = F.substring(tail, nz + 1, 1)
+    extra = (F.when(c == "1", 3)
+             .when(c.isin("2", "3"), 2)
+             .when(c.isin("4", "5", "6", "7"), 1)
+             .otherwise(0))
+    rank = F.when(nz >= 30, F.lit(_HLL_CAP)).otherwise(
+        F.least(nz * 4 + extra + 1, F.lit(_HLL_CAP)))
+    regs = (o.groupBy(F.conv(F.substring("h", 1, 2), 16, 10)
+                      .cast("bigint").alias("bucket"))
+            .agg(F.max(rank).alias("r")))
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("npresent"),
+        F.sum(F.pow(F.lit(2.0), F.lit(float(_HLL_CAP)) - F.col("r")))
+         .alias("ssum"))
+    denom = (F.col("ssum")
+             + (F.lit(_HLL_M) - F.col("npresent"))
+             * F.lit(float(2 ** _HLL_CAP)))
+    exact = _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_orderkey").alias("n_exact"))
+    return (agg.crossJoin(exact)
+            .select(F.lit(_HLL_M).cast("bigint").alias("m"),
+                    "n_exact",
+                    F.round(F.lit(_HLL_NUM) / denom, 6).alias("est_hll")))
+
+
 def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected edge list ``(doc_a, doc_b)`` -> ``(doc_id,
@@ -901,4 +951,5 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "media_frame_sample": _q_media_frame_sample,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "approx_distinct_hll": q_approx_distinct_hll,
 }
