@@ -832,7 +832,8 @@ def q_approx_distinct_hll(spark, sf_dir):
                     F.round(F.lit(_HLL_NUM) / denom, 6).alias("est_hll")))
 
 
-def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iters: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected edge list ``(doc_a, doc_b)`` -> ``(doc_id,
     component_id)`` with ``component_id`` = the lexicographic-min
@@ -849,9 +850,14 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     alternating large-star/small-star algorithm — same contract.
 
     Driver-side state is two scalars (iteration count, changed count).
-    Intermediates are cached per round and unpersisted; the RETURNED
-    DataFrame is a pure recomputable plan (k nested joins) holding no
-    cached state — nothing leaks into the session cache."""
+    Intermediates are cached per round and unpersisted — nothing leaks
+    into the session cache.  With ``checkpoint_dir`` the converged
+    (tiny) label table is written there and the returned DataFrame
+    scans it — the standard checkpoint treatment for iterative graph
+    algorithms (GraphFrames requires the same), avoiding k
+    recomputations of the edge subplan at every downstream action.
+    Without it, the RETURNED DataFrame is a pure recomputable plan
+    (k nested joins)."""
     sym = (edges.selectExpr("doc_a AS src", "doc_b AS dst")
            .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst")))
 
@@ -881,16 +887,23 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             if changed == 0:
                 converged = True
                 break
+        if checkpoint_dir is not None:
+            # Materialize the converged (tiny) labels once, while the
+            # per-round caches are still warm; the returned scan never
+            # re-runs the loop or the edge subplan.
+            (labels.select("doc_id", F.col("comp").alias("component_id"))
+             .write.mode("overwrite").parquet(checkpoint_dir))
+            return labels.sparkSession.read.parquet(checkpoint_dir)
     finally:
-        # Rebuild the converged result as an uncached pure plan, then
-        # drop every cache this function created.  The converged round
-        # changed no label, so the fixpoint needs only iters-1 steps.
-        plan = verts
-        for _ in range(iters - 1 if converged else iters):
-            plan = step(plan, sym)
         if cached is not None:
             cached.unpersist()
         edges_c.unpersist()
+    # Pure-plan fallback: replay the propagation uncached.  The
+    # converged round changed no label, so the fixpoint needs only
+    # iters-1 steps.
+    plan = verts
+    for _ in range(iters - 1 if converged else iters):
+        plan = step(plan, sym)
     return plan.select("doc_id", F.col("comp").alias("component_id"))
 
 
@@ -901,7 +914,9 @@ def q_dedup_components(spark, sf_dir):
     the 'keep one representative per duplicate cluster' primitive of a
     training-data pipeline (transitive closure, not just pairs)."""
     edges = q_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(edges)
+    slug = sf_dir.strip("/").replace("/", "_")
+    return connected_components(
+        edges, checkpoint_dir=f"/tmp/dragnet_cc_{slug}.parquet")
 
 
 def q_token_topk(spark, sf_dir):
