@@ -198,3 +198,82 @@ def test_streaming_dedup_matches_batch(spark):
              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
     want = {(r.event_type, r.n) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_connected_components_random_graphs(spark):
+    """Differential test vs a pure-Python union-find on seeded random
+    graphs (multi-round convergence, multiple cluster shapes)."""
+    import numpy as np
+    from dragnet_spark.queries import connected_components
+
+    def union_find(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for v in {x for e in edges for x in e}:
+            comp.setdefault(find(v), []).append(v)
+        return {f"v{v:03d}": f"v{min(vs):03d}"
+                for vs in comp.values() for v in vs}
+
+    rng = np.random.default_rng(42)
+    n, m = 30, 40            # one graph: Spark rounds dominate test time
+    pairs = {tuple(sorted(p)) for p in rng.integers(0, n, (m, 2))
+             if p[0] != p[1]}
+    want = union_find(n, pairs)
+    df = spark.createDataFrame(
+        [(f"v{a:03d}", f"v{b:03d}") for a, b in sorted(pairs)],
+        ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component_id
+           for r in connected_components(df).collect()}
+    assert got == want, (n, m)
+
+
+def test_hll_rank_arithmetic_vs_python():
+    """The HLL bucket/rank SQL arithmetic == a bit-level Python
+    reference, over random md5 strings (DuckDB side; the Spark side is
+    the same formula and the driver gate checks end-to-end)."""
+    import hashlib
+
+    import duckdb
+
+    from dragnet_spark.queries import _HLL_CAP
+
+    def py_rank(h: str) -> tuple[int, int]:
+        bucket = int(h[:2], 16)
+        bits = bin(int(h[2:], 16))[2:].zfill(120)
+        nz_bits = len(bits) - len(bits.lstrip("0"))
+        return bucket, min(nz_bits + 1, _HLL_CAP)
+
+    con = duckdb.connect()
+    keys = [str(i * 7919) for i in range(200)]
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS k", [keys])
+    rows = con.sql(f"""
+      WITH hh AS (SELECT md5(k) AS h FROM t),
+      rk AS (
+        SELECT h, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+               length(regexp_extract(substr(h, 3, 30), '^0*')) AS nz,
+               substr(h, 3 + length(regexp_extract(substr(h, 3, 30),
+                                                   '^0*')), 1) AS c
+        FROM hh)
+      SELECT h, bucket,
+             CASE WHEN nz >= 30 THEN {_HLL_CAP}
+                  ELSE LEAST(nz * 4 +
+                             CASE WHEN c = '1' THEN 3
+                                  WHEN c IN ('2', '3') THEN 2
+                                  WHEN c IN ('4', '5', '6', '7') THEN 1
+                                  ELSE 0 END + 1, {_HLL_CAP}) END AS r
+      FROM rk""").fetchall()
+    assert len(rows) == 200
+    for h, bucket, r in rows:
+        wb, wr = py_rank(h)
+        assert (bucket, r) == (wb, wr), h
