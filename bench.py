@@ -148,10 +148,15 @@ JIT/Arrow warm-up runs; median reported.
 
 **Scaling efficiency** (eff = docs_per_sec(4N) / (4 x docs_per_sec(N))):
 
-| pair | eff (median) | eff (per-level min) | target >= 0.8 |
+| pair | eff (median) | eff (per-level min, informational) | target >= 0.8 |
 |---|---|---|---|
-| N=2 -> 4N=8 | **{eff28:.3f}** | {eff28_min:.3f} | {'MET' if max(eff28, eff28_min) >= 0.8 else 'NOT MET'} |
-| N=8 -> 4N=32 | **{eff832:.3f}** | {eff832_min:.3f} | {'MET' if max(eff832, eff832_min) >= 0.8 else 'NOT MET'} |
+| N=2 -> 4N=8 | **{eff28:.3f}** | {eff28_min:.3f} | {'MET' if eff28 >= 0.8 else 'NOT MET'} |
+| N=8 -> 4N=32 | **{eff832:.3f}** | {eff832_min:.3f} | {'MET' if eff832 >= 0.8 else 'NOT MET'} |
+
+The MET/NOT MET verdict is decided by the MEDIAN alone (r3 advice: the
+min-based estimator is the more favorable one, so letting either
+metric pass weakened the gate); the per-level-minimum column is
+informational only.
 
 Median is the headline; the per-level-minimum column is supplementary
 (on this VM the timed runs keep drifting faster after the nominal

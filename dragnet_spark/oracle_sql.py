@@ -215,6 +215,10 @@ reach(doc_id, comp) AS (
 SELECT doc_id, MIN(comp) AS component_id FROM reach GROUP BY doc_id
 """
 
+# The star-algorithm variant computes the identical contract, so it
+# shares the reachability oracle verbatim.
+ORACLE_SQL["dedup_components_star"] = ORACLE_SQL["dedup_components"]
+
 ORACLE_SQL["token_topk"] = """
 SELECT tok, COUNT(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -155,10 +155,11 @@ def test_embedding_near_dup_recall_pinned(spark):
     # s=0.45 setting; see the operator docstring for the knobs)
 
 
-def test_connected_components_toy_graph(spark):
-    """Min-label propagation on a known graph: chain a-b-c-d (diameter
-    3), triangle e-f-g, pair h-i => three components labelled by their
-    min vertex; convergence needs multiple rounds for the chain."""
+@pytest.mark.parametrize("algorithm", ["minlabel", "star"])
+def test_connected_components_toy_graph(spark, algorithm):
+    """Both CC algorithms on a known graph: chain a-b-c-d (diameter 3),
+    triangle e-f-g, pair h-i => three components labelled by their min
+    vertex; convergence needs multiple rounds for the chain."""
     from dragnet_spark.queries import connected_components
 
     edges = spark.createDataFrame(
@@ -166,13 +167,79 @@ def test_connected_components_toy_graph(spark):
          ("e", "f"), ("f", "g"), ("e", "g"),
          ("i", "h")], ["doc_a", "doc_b"])
     got = {(r.doc_id, r.component_id)
-           for r in connected_components(edges).collect()}
+           for r in connected_components(edges,
+                                         algorithm=algorithm).collect()}
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
                    ("e", "e"), ("f", "e"), ("g", "e"),
                    ("h", "h"), ("i", "h")}
     # leak check: nothing this call cached may persist in the session
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().isEmpty()
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iters must RAISE, not return partial (wrong)
+    labels (r3 advice): a 7-vertex path has diameter 6 > 3 rounds."""
+    from dragnet_spark.queries import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i + 1}") for i in range(6)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=3)
+    # the star algorithm converges the same path in O(log n) rounds
+    # (4 here incl. the stability-detection round, vs 7 for minlabel)
+    got = {(r.doc_id, r.component_id)
+           for r in connected_components(edges, max_iters=4,
+                                         algorithm="star").collect()}
+    assert got == {(f"v{i}", "v0") for i in range(7)}
+
+
+def test_cc_checkpoint_dirs_cannot_collide(spark, tmp_path):
+    """The query-level checkpoint root is configurable
+    (spark.dragnet.cc.checkpointDir) and defaults to a path embedding
+    the Spark application id — two concurrent sessions benching the
+    same sf_dir write to different directories by construction (the r3
+    hardcoded /tmp/dragnet_cc_<slug> race)."""
+    from dragnet_spark.queries import cc_checkpoint_base, q_dedup_components
+
+    assert spark.sparkContext.applicationId in cc_checkpoint_base(spark)
+    spark.conf.set("spark.dragnet.cc.checkpointDir", str(tmp_path / "ccA"))
+    try:
+        assert cc_checkpoint_base(spark) == str(tmp_path / "ccA")
+        q_dedup_components(spark, SF).collect()
+        ckpts = list((tmp_path / "ccA").glob("*.parquet/_SUCCESS"))
+        assert len(ckpts) == 1
+    finally:
+        spark.conf.unset("spark.dragnet.cc.checkpointDir")
+
+
+def test_cc_minlabel_one_job_per_round(spark):
+    """Each minlabel round is ONE Spark job (the changed-count folds
+    into the round's cached aggregation instead of a separate
+    join+count action — r3 verdict).  Chain a-b-c-d converges in 4
+    rounds; the final collect replays the (iters-1)-step pure plan in
+    one more job => exactly 5 jobs.  AQE is disabled for the count
+    (with AQE each action can spawn per-stage jobs)."""
+    from dragnet_spark.queries import connected_components
+
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # broadcast-join builds are their own jobs; force SMJ so the count
+    # below sees exactly one job per action
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("cc-jobcount", "cc one-job-per-round")
+    try:
+        edges = spark.createDataFrame(
+            [("b", "a"), ("b", "c"), ("c", "d")], ["doc_a", "doc_b"])
+        got = {(r.doc_id, r.component_id)
+               for r in connected_components(edges).collect()}
+        assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-jobcount")
+        assert len(jobs) == 5, sorted(jobs)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_media_frame_sample_stride(spark):
@@ -200,9 +267,11 @@ def test_streaming_dedup_matches_batch(spark):
     assert got == want and len(got) > 0
 
 
-def test_connected_components_random_graphs(spark):
+@pytest.mark.parametrize("algorithm", ["minlabel", "star"])
+def test_connected_components_random_graphs(spark, algorithm):
     """Differential test vs a pure-Python union-find on seeded random
-    graphs (multi-round convergence, multiple cluster shapes)."""
+    graphs (multi-round convergence, multiple cluster shapes), for
+    BOTH algorithms — the star variant must agree exactly."""
     import numpy as np
     from dragnet_spark.queries import connected_components
 
@@ -234,8 +303,8 @@ def test_connected_components_random_graphs(spark):
         [(f"v{a:03d}", f"v{b:03d}") for a, b in sorted(pairs)],
         ["doc_a", "doc_b"])
     got = {r.doc_id: r.component_id
-           for r in connected_components(df).collect()}
-    assert got == want, (n, m)
+           for r in connected_components(df, algorithm=algorithm).collect()}
+    assert got == want, (n, m, algorithm)
 
 
 def test_hll_rank_arithmetic_vs_python():
