@@ -583,10 +583,20 @@ def q_embedding_near_dup(spark, sf_dir):
     ``(1 - theta/pi)^b``; across ``B`` bands recall at cosine s=0.45
     is ``1-(1-p)^B`` ~ 0.12 for the 4x8 default (measured 3/14 on the
     sf0.01 fixture).  0.45 is a deliberately hard, low-similarity
-    setting; production near-dup thresholds (s >= 0.9, p ~ 0.77/band)
-    reach recall >= 0.95 with the same 4x8 shape, and both knobs
-    (bands, bits) trade recall against bucket selectivity."""
+    setting; production near-dup thresholds (s >= 0.9, where real
+    duplicates sit near cos ~ 1 and p/band ~ 0.95) reach recall
+    >= 0.95 with the same 4x8 shape — measured and pinned by
+    ``test_embedding_near_dup_production_threshold_recall`` — and both
+    knobs (bands, bits) trade recall against bucket selectivity."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_near_dup_pairs(e, 0.45)
+
+
+def embedding_near_dup_pairs(e: DataFrame, threshold: float) -> DataFrame:
+    """Banded sign-LSH candidates + exact pinned-order cosine >=
+    ``threshold`` over a (vec_id, embedding) DataFrame — the reusable
+    core of q_embedding_near_dup (same plan, parameterized input and
+    similarity threshold)."""
     bands = None
     for b in range(_ND_BANDS):
         part = e.select("vec_id", F.lit(b).alias("band"),
@@ -606,7 +616,7 @@ def q_embedding_near_dup(spark, sf_dir):
                   F.col("embedding").cast("array<double>").alias("eb"))
     cos = _cosine(F.col("ea"), F.col("eb"))   # sequential fold = oracle
     return (cand.join(ea, "vec_a").join(eb, "vec_b")
-            .where(cos >= 0.45)
+            .where(cos >= threshold)
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")))
 
 
