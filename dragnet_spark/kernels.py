@@ -471,6 +471,51 @@ def zero_dm(z: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+def process_block(block_u8: np.ndarray, plan, offset_abs: int,
+                  padvals: np.ndarray, mask_args: dict | None,
+                  clip_state: ClipState,
+                  use_mask: bool) -> tuple[np.ndarray, int, int]:
+    """ONE iteration of the reference block-loop body
+    (``dragnet.cu:241-302``): zap -> widen -> mask/clip -> SK ->
+    decimate -> dedisperse.  Shared verbatim by the batch loop
+    (:func:`process_document`) and the stateful-streaming form
+    (:mod:`dragnet_spark.streaming`), so stream == batch equality holds
+    by construction.  ``block_u8`` is copied internally (the reference
+    re-reads the overlapping tail from disk, ``sigproc.cxx:146``, so
+    in-place edits must not leak into the next block's view).
+    Returns (out_block, n_clipped_delta, n_sk_masked_delta)."""
+    cfg = plan.cfg
+    buf = np.array(block_u8, dtype=np.uint8, copy=True)
+
+    # P2: user channel zap on the byte buffer (dragnet.cu:249-261)
+    zap_channels(buf, plan.zap_channels, padvals if use_mask else None)
+
+    # P3: widen to float32 (dragnet.cu:266-271)
+    fbuf = buf.astype(np.float32)
+
+    # J4/W1: rfifind mask + optional clipping (dragnet.cu:264-273)
+    n_clipped = 0
+    if use_mask:
+        n_clipped = apply_mask(
+            fbuf, tsamp=plan.tsamp_dec, nsamples=buf.shape[0],
+            offset=offset_abs, clip_sigma=cfg.clip_sigma,
+            padvals=padvals, mask_args=mask_args, clip_state=clip_state)
+
+    # A6/W2: SK filter (dragnet.cu:276-282)
+    n_sk = 0
+    if cfg.use_skz:
+        n_sk, _ = compute_sk_mask(fbuf, plan.sk_mint, cfg.mskz,
+                                  float(cfg.nskz),
+                                  plan.sk_lims[0], plan.sk_lims[1])
+
+    # A8: decimation (dragnet.cu:285-289)
+    if cfg.ndec > 1:
+        fbuf = decimate_timeseries(fbuf, cfg.ndec)
+
+    # D3: dedisperse (dragnet.cu:301-302)
+    return dedisperse(fbuf, plan.delays, plan.max_delay), n_clipped, n_sk
+
+
 def process_document(data: np.ndarray, plan,
                      offset0: int = 0) -> tuple[np.ndarray, dict]:
     """Run the full cleaning+dedispersion block loop on one document's
@@ -512,37 +557,11 @@ def process_document(data: np.ndarray, plan,
 
     while True:
         to_read = min(plan.blocksize, nsamp_raw - isamp)   # dragnet.cu:241
-        # Fresh copy per block: the reference re-reads the overlapping
-        # tail from disk (sigproc.cxx:146), so in-place zap/mask edits
-        # must not leak into the next block's re-read of the same range.
-        buf = np.array(data[isamp:isamp + to_read], dtype=np.uint8, copy=True)
-
-        # P2: user channel zap on the byte buffer (dragnet.cu:249-261)
-        zap_channels(buf, plan.zap_channels, padvals if use_mask else None)
-
-        # P3: widen to float32 (dragnet.cu:266-271)
-        fbuf = buf.astype(np.float32)
-
-        # J4/W1: rfifind mask + optional clipping (dragnet.cu:264-273)
-        if use_mask:
-            n_clipped += apply_mask(
-                fbuf, tsamp=plan.tsamp_dec, nsamples=to_read,
-                offset=offset0 + isamp, clip_sigma=cfg.clip_sigma,
-                padvals=padvals, mask_args=mask_args, clip_state=clip_state)
-
-        # A6/W2: SK filter (dragnet.cu:276-282)
-        if cfg.use_skz:
-            nm, _ = compute_sk_mask(fbuf, plan.sk_mint, cfg.mskz,
-                                    float(cfg.nskz),
-                                    plan.sk_lims[0], plan.sk_lims[1])
-            n_sk_masked += nm
-
-        # A8: decimation (dragnet.cu:285-289)
-        if ndec > 1:
-            fbuf = decimate_timeseries(fbuf, ndec)
-
-        # D3: dedisperse (dragnet.cu:301-302)
-        ob = dedisperse(fbuf, plan.delays, plan.max_delay)
+        ob, ncl, nsk = process_block(
+            data[isamp:isamp + to_read], plan, offset0 + isamp,
+            padvals, mask_args, clip_state, use_mask)
+        n_clipped += ncl
+        n_sk_masked += nsk
         out[:, opos:opos + ob.shape[1]] = ob
         opos += ob.shape[1]
 

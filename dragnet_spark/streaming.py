@@ -106,8 +106,8 @@ def run_streaming_stats(spark: SparkSession, sf_dir: str,
 # --------------------------------------------------------------------------
 
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType,  # noqa: E402
-                               IntegerType, StringType, StructField,
-                               StructType)
+                               IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 BLOCK_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
@@ -178,4 +178,167 @@ def streaming_clipper(blocks: DataFrame, clip_sigma: float,
     from pyspark.sql.streaming.state import GroupStateTimeout
     return blocks.groupBy("doc_id").applyInPandasWithState(
         fn, CLIP_OUT_SCHEMA, CLIP_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+# --------------------------------------------------------------------------
+# Stateful streaming dedisperse (W3): the reference's FULL block loop as
+# a streaming operator — halo tail + clipper EWMA live in the state store
+# --------------------------------------------------------------------------
+
+STRIP_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("header", StringType(), False),
+    StructField("strip_offset", LongType(), False),   # absolute raw sample
+    StructField("payload", BinaryType(), False),
+])
+
+DEDISP_OUT_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("block_seq", IntegerType(), False),
+    StructField("dm_index", IntegerType(), False),
+    StructField("out_offset", LongType(), False),     # dedispersed sample pos
+    StructField("series", BinaryType(), True),        # float32 LE chunk
+    StructField("metrics", StringType(), True),       # done row: counters
+])
+
+# State = exactly what the reference keeps between block-loop iterations
+# (dragnet.cu:237-330): the unconsumed raw tail (halo, max_delay*ndec
+# samples + any partial strip), the loop cursors, the counters, and the
+# clipper's EWMA statics (mask.c:564-566).  Bounded by
+# O(blocksize * nchan) bytes per in-flight document regardless of
+# document length — the property that lets an unbounded stream of giant
+# documents run in fixed executor memory.
+DEDISP_STATE_SCHEMA = StructType([
+    StructField("isamp", LongType(), False),          # next block start
+    StructField("nread", LongType(), False),          # samples received
+    StructField("opos", LongType(), False),           # output samples emitted
+    StructField("buf", BinaryType(), False),          # bytes from isamp on
+    StructField("n_blocks", IntegerType(), False),
+    StructField("n_clipped", LongType(), False),
+    StructField("n_sk", LongType(), False),
+    StructField("done", IntegerType(), False),
+    StructField("clip_avg", DoubleType(), False),
+    StructField("clip_std", DoubleType(), False),
+    StructField("clip_chan", ArrayType(DoubleType()), False),
+    StructField("clip_blocks", IntegerType(), False),
+])
+
+
+def streaming_dedisperse(strips: DataFrame, cfg, mask=None) -> DataFrame:
+    """The reference's ENTIRE main loop (W3, ``dragnet.cu:237-330``) as
+    a stateful streaming operator: raw-sample strips of a document
+    arrive across micro-batches (in offset order, arbitrary strip
+    sizes); each time the state buffer holds a full block (or the
+    document's tail), one block-loop iteration runs — the SAME
+    :func:`dragnet_spark.kernels.process_block` the batch pipeline
+    executes, so streamed output is bit-identical to
+    :func:`run_pipeline` by construction — and the per-DM dedispersed
+    chunk is appended downstream.
+
+    Unlike the chunked batch path (which forbids the clipper), this
+    form supports EVERY config including ``clip_sigma > 0``: the
+    sequential EWMA state (``mask.c:564-566``) lives in the state
+    store next to the halo tail, exactly as the C statics live across
+    ``fread`` calls.  A final row per document (``dm_index = -1``)
+    carries the batch-identical metrics JSON."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from .params import Header, MaskSpec, RunConfig
+    from .plan import build_plan
+    from .kernels import ClipState, process_block
+
+    cfg_json = cfg.to_json()
+    mask_json = mask.to_json() if mask is not None else None
+
+    def fn(key, pdfs, state):
+        cfg_l = RunConfig.from_json(cfg_json)
+        mask_l = MaskSpec.from_json(mask_json) if mask_json else None
+        pdf = pd.concat(list(pdfs), ignore_index=True) \
+            .sort_values("strip_offset")
+        header = Header.from_json(pdf["header"].iloc[0])
+        plan = build_plan(header, cfg_l, mask_l)
+        nchan = header.nchan
+        use_mask = cfg_l.use_mask and plan.mask is not None
+        shift_back = plan.max_delay * cfg_l.ndec
+        mask_args = dict(dtint=plan.mask.dtint, numint=plan.mask.numint,
+                         zap_ints=plan.mask_zap_ints,
+                         zap_chans=plan.mask_zap_chans,
+                         chans_per_int=plan.mask_chans_per_int) \
+            if use_mask else None
+
+        if state.exists:
+            (isamp, nread, opos, buf, n_blocks, n_clipped, n_sk, done,
+             c_avg, c_std, c_chan, c_blocks) = state.get
+            buf = bytes(buf)
+            clip_state = ClipState(np.float32(c_avg), np.float32(c_std),
+                                   np.asarray(c_chan, dtype=np.float32),
+                                   int(c_blocks))
+        else:
+            isamp = nread = opos = 0
+            buf, n_blocks, n_clipped, n_sk, done = b"", 0, 0, 0, 0
+            clip_state = ClipState()
+        padvals = (plan.padvals.copy() if use_mask and plan.padvals.size
+                   else np.zeros(nchan, dtype=np.float32))
+        # NB: padvals is clip_times' good_chan_levels scratch — it is
+        # overwritten with the running channel averages each block
+        # (mask.c:654-656), which the EWMA state fully determines, so
+        # it needs no state-store slot of its own.
+        if use_mask and clip_state.blocksread:
+            padvals[:] = clip_state.chan_running_avg
+
+        for r in pdf.itertuples(index=False):
+            if int(r.strip_offset) * nchan != isamp * nchan + len(buf):
+                raise ValueError(
+                    f"non-contiguous strip for {key[0]}: offset "
+                    f"{r.strip_offset}, expected "
+                    f"{isamp + len(buf) // nchan}")
+            buf += bytes(r.payload)
+            nread += len(r.payload) // nchan
+
+        rows = []
+        while not done:
+            to_read = min(plan.blocksize, header.nsamp - isamp)
+            if nread - isamp < to_read or to_read <= 0:
+                break                      # need more strips
+            block = np.frombuffer(buf[:to_read * nchan], dtype=np.uint8) \
+                .reshape(to_read, nchan)
+            if header.chan_order == "low":
+                block = block[:, ::-1]     # lofarhdf5.cxx:325-335
+            ob, ncl, nsk = process_block(block, plan, isamp, padvals,
+                                         mask_args, clip_state, use_mask)
+            for d in range(ob.shape[0]):
+                rows.append((key[0], n_blocks, d, opos,
+                             np.ascontiguousarray(
+                                 ob[d], dtype="<f4").tobytes(), None))
+            opos += ob.shape[1]
+            n_clipped += ncl
+            n_sk += nsk
+            n_blocks += 1
+            step = to_read - shift_back
+            buf = buf[step * nchan:]
+            isamp += step
+            if not isamp < header.nsamp - shift_back:  # dragnet.cu:330
+                done = 1
+                rows.append((key[0], n_blocks, -1, opos, None,
+                             _json.dumps({
+                                 "n_blocks": n_blocks,
+                                 "n_clipped_samples": int(n_clipped),
+                                 "n_sk_masked_intervals": int(n_sk)},
+                                 sort_keys=True)))
+        state.update((isamp, nread, opos, buf if not done else b"",
+                      n_blocks, int(n_clipped), int(n_sk), int(done),
+                      float(clip_state.running_avg),
+                      float(clip_state.running_std),
+                      [float(v) for v in clip_state.chan_running_avg],
+                      int(clip_state.blocksread)))
+        yield pd.DataFrame(rows,
+                           columns=[f.name for f in DEDISP_OUT_SCHEMA])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return strips.groupBy("doc_id").applyInPandasWithState(
+        fn, DEDISP_OUT_SCHEMA, DEDISP_STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)

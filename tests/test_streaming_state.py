@@ -82,6 +82,78 @@ def test_streaming_clipper_state_across_microbatches(spark, tmp_path):
         assert got[want[1]] == want, (got[want[1]], want)
 
 
+def _write_strip_file(path, strips):
+    table = pa.table({
+        "doc_id": pa.array([s[0] for s in strips], pa.string()),
+        "header": pa.array([s[1] for s in strips], pa.string()),
+        "strip_offset": pa.array([s[2] for s in strips], pa.int64()),
+        "payload": pa.array([s[3] for s in strips], pa.binary()),
+    })
+    pq.write_table(table, path)
+
+
+def test_streaming_dedisperse_full_loop_parity(spark, tmp_path):
+    """W3 as a REAL stateful streaming operator: the whole block loop
+    (zap -> mask -> clipper -> SK -> dedisperse) with the halo tail and
+    the clipper EWMA in the state store, fed uneven raw strips across
+    two micro-batches — output chunks reassemble to the batch
+    process_document result BIT-FOR-BIT, including a clip-enabled
+    config (s2) the chunked batch path cannot run, and the final
+    metrics row equals the batch metrics dict."""
+    import json
+
+    from dragnet_spark.generate import (make_document, make_mask,
+                                        scenario_configs)
+    from dragnet_spark.kernels import process_document
+    from dragnet_spark.plan import build_plan
+    from dragnet_spark.streaming import STRIP_SCHEMA, streaming_dedisperse
+
+    doc = make_document("tiny", 0)
+    header, data, _ = decode_document(doc["spans"])
+    cfg = scenario_configs("tiny")["s2"]     # rfifind mask + clipper EWMA
+    cfg.blocksize = 192                      # 512 samples -> 3 blocks
+    mask = make_mask("tiny")
+    plan = build_plan(header, cfg, mask)
+    assert 0 < plan.max_delay * cfg.ndec < 192
+    want, metrics = process_document(data, plan)
+    assert metrics["n_blocks"] >= 3 and metrics["n_clipped_samples"] > 0
+
+    # uneven strips, split so the state must carry a processed block's
+    # halo AND the EWMA from trigger 1 into trigger 2
+    cuts = [0, 100, 192, 300, 512]
+    strips = [(doc["doc_id"], header.to_json(), int(cuts[i]),
+               np.ascontiguousarray(data[cuts[i]:cuts[i + 1]]).tobytes())
+              for i in range(len(cuts) - 1)]
+    d = tmp_path / "stream_dedisp"
+    d.mkdir()
+    _write_strip_file(str(d / "000.parquet"), strips[:2])
+    time.sleep(0.05)
+    _write_strip_file(str(d / "001.parquet"), strips[2:])
+    os.utime(str(d / "001.parquet"), (time.time() + 5, time.time() + 5))
+
+    stream = (spark.readStream.schema(STRIP_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (streaming_dedisperse(stream, cfg, mask)
+         .writeStream.format("memory").queryName("dedisp_stream_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("dedisp_stream_test").collect()
+
+    mrows = [r for r in rows if r.dm_index == -1]
+    assert len(mrows) == 1
+    assert json.loads(mrows[0].metrics) == metrics
+
+    got: dict[int, bytes] = {}
+    for r in sorted((r for r in rows if r.dm_index >= 0),
+                    key=lambda r: (r.dm_index, r.block_seq)):
+        assert r.out_offset * 4 == len(got.get(r.dm_index, b""))
+        got[r.dm_index] = got.get(r.dm_index, b"") + bytes(r.series)
+    assert set(got) == set(range(want.shape[0]))
+    for d_idx in range(want.shape[0]):
+        assert got[d_idx] == np.ascontiguousarray(
+            want[d_idx], dtype="<f4").tobytes(), f"dm {d_idx} diverged"
+
+
 def test_streaming_clipper_multichunk_out_of_order(spark, tmp_path):
     """A group's rows arrive as MULTIPLE Arrow chunks (128 block rows >
     the session's 64-row maxRecordsPerBatch) in shuffled order; the
