@@ -189,6 +189,31 @@ Reproduce: `python bench.py --scaling`.
                       "eff_8_to_32": eff832}))
 
 
+def _bench_partitioned_sink(spark, corpus: str = BENCH_CORPUS) -> float:
+    """Time the DM-partitioned sink on the flagship output plus one
+    partition-pruned single-DM read-back (the fold/search access
+    pattern the layout exists for)."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.generate import scenario_configs
+    from dragnet_spark.io import write_timeseries_partitioned
+    from dragnet_spark.pipeline import run_pipeline
+
+    cfg = scenario_configs(corpus)["s3"]
+    docs = spark.read.parquet(corpus_cache(corpus))
+    out = "/tmp/dragnet_perdm_bench.parquet"
+    _shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_timeseries_partitioned(run_pipeline(docs, cfg, None), out)
+    n = (spark.read.parquet(out).where(F.col("dm") == "25.000")
+         .agg(F.count(F.lit(1)), F.sum(F.length("text"))).collect())
+    elapsed = time.perf_counter() - t0
+    assert n[0][0] > 0
+    return elapsed
+
+
 def driver_bench() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -244,6 +269,10 @@ def driver_bench() -> None:
         run_flagship(spark, ndocs)
     fl = min(run_flagship(spark, ndocs) for _ in range(3))
     timings["dedisperse_bench"] = round(fl, 3)
+
+    # Per-DM partitioned sink (S9 at file scale): flagship output
+    # written partitionBy(dm) + a pruned single-DM read-back.
+    timings["partitioned_sink"] = round(_bench_partitioned_sink(spark), 3)
     spark.stop()
 
     print(json.dumps({

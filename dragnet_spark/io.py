@@ -26,7 +26,7 @@ checkpoint table's pushdown filters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLE_PREFIX = "table:"
 
@@ -53,6 +53,33 @@ def read_documents(spark: SparkSession, source: str) -> DataFrame:
                 " or pass a parquet path")
         return spark.read.table(name)
     return spark.read.parquet(source)
+
+
+def write_timeseries_partitioned(rows: DataFrame, sink: str,
+                                 mode: str = "overwrite") -> None:
+    """S9's file-scale mapping (SURVEY.md §2.1): the per-DM ``.dat``
+    sink re-expressed as a DM-partitioned table write — one partition
+    directory per DM trial (``dm=<%.3f>``), so a downstream single-DM
+    read (the common access pattern: fold/search one trial) scans one
+    directory via partition pruning instead of the full output.  The
+    partition value is the ``%.3f`` DM string from the media_ref
+    (``prefix_DM%.3f`` naming, ``dragnet.cu:311``) — a stable
+    directory name, no float-formatting drift.  On Iceberg
+    (``table:`` sink) the same column becomes the identity partition
+    of the table."""
+    ts = (rows.where(F.col("kind") == "timeseries")
+          .select("doc_id", "seq",
+                  F.regexp_extract("media_ref", "^dm://(.*)$", 1)
+                   .alias("dm"),
+                  "text"))
+    if sink.startswith(TABLE_PREFIX):
+        name = sink[len(TABLE_PREFIX):]
+        if mode == "overwrite":
+            ts.writeTo(name).partitionedBy(F.col("dm")).createOrReplace()
+        else:
+            ts.writeTo(name).append()
+        return
+    ts.write.mode(mode).partitionBy("dm").parquet(sink)
 
 
 def write_documents(df: DataFrame, sink: str, mode: str = "append") -> None:

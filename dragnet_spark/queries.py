@@ -993,9 +993,12 @@ def _cc_star(edges: DataFrame, max_iters: int,
     try:
         for _ in range(max_iters):
             nxt = small_star(large_star(cur)).persist()
-            # Exact symmetric-difference check (both sides distinct).
-            changed = (nxt.exceptAll(cur).unionByName(cur.exceptAll(nxt))
-                       .count())
+            # Exact symmetric-difference count in ONE aggregation job:
+            # both sides are distinct sets, so an edge is in the
+            # difference iff it appears exactly once in their union.
+            changed = (cur.unionByName(nxt).groupBy("u", "v")
+                       .agg(F.count(F.lit(1)).alias("n"))
+                       .where(F.col("n") == 1).count())
             cur.unpersist()
             cur = nxt
             iters += 1

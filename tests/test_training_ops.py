@@ -105,6 +105,37 @@ def test_io_parquet_roundtrip(spark, tmp_path):
     assert back.columns == src.columns
 
 
+def test_write_timeseries_partitioned_prunes(spark, tmp_path):
+    """S9's file-scale sink: timeseries rows written partitionBy(dm)
+    produce one directory per DM trial, and a single-DM read (the
+    common fold/search access pattern) is partition-pruned to that one
+    directory's files."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.generate import make_corpus, scenario_configs
+    from dragnet_spark.io import write_timeseries_partitioned
+    from dragnet_spark.pipeline import docs_to_df, run_pipeline
+
+    docs = make_corpus("tiny")
+    cfg = scenario_configs("tiny")["s0"]
+    rows = run_pipeline(docs_to_df(spark, docs), cfg, None)
+    out = str(tmp_path / "perdm")
+    write_timeseries_partitioned(rows, out)
+
+    dirs = sorted(p.name for p in (tmp_path / "perdm").iterdir()
+                  if p.name.startswith("dm="))
+    assert len(dirs) == 11 and "dm=25.000" in dirs   # DM 0..50 step 5
+
+    back = spark.read.parquet(out).where(F.col("dm") == "25.000")
+    assert back.count() == len(docs)                 # one row per doc
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dm" in plan
+    # row-group-level evidence: only the one partition's files are read
+    scanned = {f for f in back.withColumn(
+        "f", F.input_file_name()).select("f").distinct().toPandas()["f"]}
+    assert scanned and all("dm=25.000" in f for f in scanned)
+
+
 def test_io_iceberg_missing_is_explicit(spark):
     from dragnet_spark.io import iceberg_available, read_documents
     if iceberg_available(spark):
