@@ -182,6 +182,13 @@ levels (see session.py): Xms=Xmx pinned heap + 32m G1 regions (stops
 heap uncommit page churn), glibc MALLOC_MMAP_THRESHOLD_ raised so MB
 strip buffers stop mmap/munmap-ing per document.
 
+Per-query latency pin: `BENCH/PINNED.json` commits the full driver
+bench (every `queries()` entry + flagship + partitioned sink) from the
+round's representative run; `python bench.py` compares each query
+against it and reports `regressions_vs_pin` (>2x and >0.5 s over pin —
+informational, given the documented jitter).  Re-pin with
+`python bench.py --pin <bench-output.json>`.
+
 Reproduce: `python bench.py --scaling`.
 """
     (bench_dir / "BASELINE.md").write_text(md)
@@ -275,6 +282,19 @@ def driver_bench() -> None:
     timings["partitioned_sink"] = round(_bench_partitioned_sink(spark), 3)
     spark.stop()
 
+    # Regression detection vs the committed per-query pin
+    # (BENCH/PINNED.json, written by `--pin`): informational — this VM
+    # jitters 2-5x run-to-run (BENCH/BASELINE.md caveat), so flagged
+    # rows mean "look here", not "bench invalid".
+    regressions = {}
+    pin_path = REPO / "BENCH" / "PINNED.json"
+    if pin_path.exists():
+        pinned = json.loads(pin_path.read_text())["queries"]
+        regressions = {
+            q: {"now": t, "pinned": pinned[q]}
+            for q, t in timings.items()
+            if q in pinned and t > 2.0 * pinned[q] and t - pinned[q] > 0.5}
+
     print(json.dumps({
         "metric": "headline query latency + flagship dedispersion wall",
         "value": round(sum(timings.values()), 3),
@@ -283,6 +303,7 @@ def driver_bench() -> None:
         "sf": sf,
         "flagship_docs_per_sec": round(ndocs / fl, 1),
         "cores": cores,
+        **({"regressions_vs_pin": regressions} if regressions else {}),
         # Failed queries are excluded from `value`; flag so a partial
         # sum cannot read as a faster run.
         **({"errors": errors, "valid": False} if errors else {}),
@@ -297,8 +318,20 @@ def main() -> None:
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--corpus", default=BENCH_CORPUS)
     p.add_argument("--warmups", type=int, default=2)
+    p.add_argument("--pin", metavar="BENCH_JSON",
+                   help="commit a driver-bench output file as the "
+                        "per-query regression pin (BENCH/PINNED.json)")
     a = p.parse_args()
-    if a.flagship_only:
+    if a.pin:
+        d = json.loads(Path(a.pin).read_text())
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        (REPO / "BENCH" / "PINNED.json").write_text(json.dumps({
+            "sf": d.get("sf"), "cores": d.get("cores"),
+            "wall": d["value"], "queries": d["queries"],
+            "flagship_docs_per_sec": d.get("flagship_docs_per_sec"),
+        }, indent=1) + "\n")
+        print(f"pinned {len(d['queries'])} queries, wall {d['value']} s")
+    elif a.flagship_only:
         flagship_only(a.cores, a.runs, a.corpus, a.warmups)
     elif a.scaling:
         scaling(a.runs, a.corpus, a.warmups)

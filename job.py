@@ -41,6 +41,10 @@ def main() -> None:
                         "sibling .stats when present)")
     p.add_argument("--export-presto", metavar="DIR",
                    help="also write per-(doc, DM) .dat/.inf files to DIR")
+    p.add_argument("--export-perdm", metavar="SINK",
+                   help="also write the timeseries rows DM-partitioned "
+                        "(partitionBy(dm)) to a parquet path or "
+                        "'table:' sink")
     p.add_argument("--config", default="s0",
                    help="scenario id from generate.scenario_configs")
     p.add_argument("--run-id", default="run0")
@@ -91,6 +95,11 @@ def main() -> None:
             F.col("kind").isin("timeseries", "inf"))
         stats["n_presto_files"] = export_presto_files(
             rows, args.export_presto, prefix=cfg.prefix)
+    if args.export_perdm:
+        from dragnet_spark.io import write_timeseries_partitioned
+        write_timeseries_partitioned(
+            spark.read.parquet(f"{args.out}/spans"), args.export_perdm)
+        stats["perdm_sink"] = args.export_perdm
     print(json.dumps(stats))
     spark.stop()
 
