@@ -681,3 +681,64 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """
+
+ORACLE_SQL["dedup_segments"] = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(range(0, nseg)) AS seg_idx,
+         unnest(list_transform(range(0, nseg),
+                i -> array_to_string(w[(i*8+1):(i*8+8)], ' '))) AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)
+                   AS nseg
+        FROM documents)
+), ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id, COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+FROM ranked
+GROUP BY doc_id
+"""
+
+ORACLE_SQL["contamination_ngrams"] = """
+WITH grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+             AS gs
+  FROM documents
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g
+  FROM grams WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       COUNT(*) AS n_hit_ngrams,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_ngrams, 6) AS hit_frac
+FROM tr JOIN ev USING (g)
+GROUP BY doc_id, n_ngrams
+"""
+
+ORACLE_SQL["quality_repetition"] = """
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+       ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+           AS dup_word_frac,
+       ROUND(CAST(list_max(list_transform(
+                 list_distinct(bi),
+                 x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE)
+             / (len(w) - 1), 6) AS top_bigram_frac
+FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             list_transform(range(1, len(string_split(text, ' '))),
+                 i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))
+                 AS bi
+      FROM documents)
+"""

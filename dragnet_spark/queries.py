@@ -1072,6 +1072,117 @@ def q_token_topk(spark, sf_dir):
             .limit(20))
 
 
+def q_dedup_segments(spark, sf_dir):
+    """Segment-level exact dedup (the paragraph-dedup pass of
+    RefinedWeb/FineWeb-style pipelines, here over fixed 8-word
+    segments since the synthetic corpus has no paragraph breaks):
+    each document is cut into non-overlapping 8-word segments, every
+    segment occurrence corpus-wide is ranked by (doc_id, seg_idx)
+    within its md5 fingerprint, and only the first occurrence is
+    kept.  Output: per-document segment counts (total / kept /
+    removed).
+
+    Scale shape: ONE shuffle partitioned by segment fingerprint (the
+    canonical exact-dedup exchange — uniform md5 keys, no skew), then
+    a re-aggregation by doc_id; both are partial-agg friendly and the
+    segment rows are bounded (~8 words each) regardless of document
+    size, so giant documents fan out instead of hot-spotting a task."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(arr) / F.lit(8.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(arr, i * 8 + 1, 8)))
+    e = d.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    ranked = e.select("doc_id", F.row_number().over(w).alias("rn"))
+    return (ranked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                  .alias("n_kept"))
+            .select("doc_id", "n_segments", "n_kept",
+                    (F.col("n_segments") - F.col("n_kept"))
+                    .alias("n_removed")))
+
+
+def q_contamination_ngrams(spark, sf_dir):
+    """Benchmark-contamination check: a deterministic 1%-ish eval set
+    (doc_id % 97 == 0) is decomposed into distinct word n-grams; every
+    training document reports how many of its distinct n-grams appear
+    in the eval set.  n=3 here so the tiny synthetic corpus produces
+    hits; production decontamination uses the same plan with n=13.
+
+    Scale shape: the eval side (a benchmark suite — thousands of docs
+    vs 10^12 training docs) collapses to a distinct n-gram set that is
+    explicitly ``F.broadcast``-joined against the exploded training
+    stream, so the only shuffles are the tiny eval-side distinct and
+    the per-doc count aggregation (map-side combinable)."""
+    d = _t(spark, sf_dir, "documents")
+    # Materialize the distinct-gram array as a real column: inlining
+    # the expression at every reference re-tokenizes the document per
+    # use (measured ~10x on the bench corpus).
+    g = d.select("doc_id", F.array_distinct(_shingles()).alias("gs"))
+    ev = (g.where(F.col("doc_id") % 97 == 0)
+          .select(F.explode("gs").alias("g")).distinct())
+    tr = (g.where(F.col("doc_id") % 97 != 0)
+          .select("doc_id", F.size("gs").alias("n_ngrams"),
+                  F.explode("gs").alias("g")))
+    return (tr.join(F.broadcast(ev), "g")
+            .groupBy("doc_id", "n_ngrams")
+            .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+            .select("doc_id",
+                    F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+                    "n_hit_ngrams",
+                    F.round(F.col("n_hit_ngrams")
+                            / F.col("n_ngrams"), 6).alias("hit_frac")))
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-word
+    fraction and top-bigram fraction per document.
+
+    Scale shape: zero shuffles — the per-document top-bigram count is
+    an O(len^2) JVM higher-order expression (distinct bigrams x
+    filter-count), which for web documents (hundreds of words) beats
+    the explode -> groupBy(doc, bigram) -> max alternative's TWO
+    exchanges; the whole query is a single narrow scan-project."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    n = F.size(arr)
+    # Guard: sequence(1, 0) DESCENDS for 1-word docs (same quirk as
+    # _shingles) -> empty bigram list, NULL top_bigram_frac both engines.
+    bi_expr = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    # Materialize words + bigrams once per row; referencing the raw
+    # expression at each use re-tokenizes the document per reference
+    # (measured ~10x on the bench corpus).
+    w = d.select("doc_id", arr.alias("w"), bi_expr.alias("bi"))
+    nw = F.size("w")
+    # Top-bigram count = longest equal run of the sorted bigram list:
+    # O(len log len) + one pass (vs the naive O(len^2) distinct x
+    # filter-count, which blows up on real web documents with
+    # thousands of words).  Comparator-free array_sort stays fast
+    # JVM-side; the run-length scan is a single F.aggregate fold.
+    run = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+    top = F.aggregate(
+        F.array_sort("bi"),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"), run(acc, x).alias("run"),
+            F.greatest(acc.best, run(acc, x)).alias("best")),
+        lambda acc: acc.best)
+    return w.select(
+        "doc_id",
+        nw.cast("bigint").alias("n_words"),
+        (nw - 1).cast("bigint").alias("n_bigrams"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct("w")) / nw, 6)
+         .alias("dup_word_frac"),
+        F.round(top.cast("double") / (nw - 1), 6).alias("top_bigram_frac"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1110,4 +1221,7 @@ QUERIES = {
     "media_frame_sample": _q_media_frame_sample,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "approx_distinct_hll": q_approx_distinct_hll,
+    "dedup_segments": q_dedup_segments,
+    "contamination_ngrams": q_contamination_ngrams,
+    "quality_repetition": q_quality_repetition,
 }

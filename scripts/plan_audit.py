@@ -52,6 +52,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # Stratified sampling: pure scan-side aggregation, no join at all.
     "sample_stratified": ([r"partial_|Partial"],
                           [r"Join", r"LocalTableScan"]),
+    # Contamination: the eval n-gram set must broadcast against the
+    # exploded training stream (a benchmark suite vs 10^12 docs).
+    "contamination_ngrams": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
+    # Repetition quality: zero shuffles — a single narrow scan-project.
+    "quality_repetition": ([], [r"Exchange", r"Join"]),
 }
 
 

@@ -416,3 +416,61 @@ def test_hll_rank_arithmetic_vs_python():
     for h, bucket, r in rows:
         wb, wr = py_rank(h)
         assert (bucket, r) == (wb, wr), h
+
+
+# --------------------------------------------------------------------------
+# Segment dedup / contamination / repetition quality (constructed docs)
+# --------------------------------------------------------------------------
+
+def _write_docs(spark, tmp_path, docs):
+    """Write a documents.parquet with the driver schema into tmp_path
+    and return it as an sf_dir."""
+    rows = [(int(i), t, "en", "src0", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).coalesce(1).write.mode("overwrite") \
+     .parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_dedup_segments_first_occurrence_wins(spark, tmp_path):
+    from dragnet_spark.queries import q_dedup_segments
+    seg_a = " ".join(f"a{i}" for i in range(8))
+    seg_b = " ".join(f"b{i}" for i in range(8))
+    seg_c = " ".join(f"c{i}" for i in range(8))
+    sf = _write_docs(spark, tmp_path, [
+        (1, f"{seg_a} {seg_b}"),        # both kept (first occurrences)
+        (2, f"{seg_b} {seg_c}"),        # seg_b removed (doc 1 owns it)
+        (3, seg_b),                     # removed entirely
+    ])
+    got = {r.doc_id: (r.n_segments, r.n_kept, r.n_removed)
+           for r in q_dedup_segments(spark, sf).collect()}
+    assert got == {1: (2, 2, 0), 2: (2, 1, 1), 3: (1, 0, 1)}
+
+
+def test_contamination_hits_eval_trigrams(spark, tmp_path):
+    from dragnet_spark.queries import q_contamination_ngrams
+    # doc 0 (0 % 97 == 0) is the eval set; docs 1/2 are training.
+    sf = _write_docs(spark, tmp_path, [
+        (0, "w x y z q"),               # eval trigrams: wxy xyz yzq
+        (1, "a b w x y c d e f g"),     # contains 'w x y' -> 1 hit of 8
+        (2, "m n o p r s t u"),         # clean
+    ])
+    got = {r.doc_id: (r.n_ngrams, r.n_hit_ngrams, r.hit_frac)
+           for r in q_contamination_ngrams(spark, sf).collect()}
+    assert got == {1: (8, 1, 0.125)}    # doc 2 clean, doc 0 excluded
+
+
+def test_quality_repetition_values(spark, tmp_path):
+    from dragnet_spark.queries import q_quality_repetition
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a b a b c"),   # bigrams: ab ba ab bc -> top 2/4; dup 1-3/5
+        (2, "u v w"),       # all distinct: dup 0, top 1/2
+    ])
+    got = {r.doc_id: r for r in q_quality_repetition(spark, sf).collect()}
+    r1, r2 = got[1], got[2]
+    assert (r1.n_words, r1.n_bigrams) == (5, 4)
+    assert r1.dup_word_frac == 0.4 and r1.top_bigram_frac == 0.5
+    assert (r2.n_words, r2.n_bigrams) == (3, 2)
+    assert r2.dup_word_frac == 0.0 and r2.top_bigram_frac == 0.5
