@@ -742,3 +742,80 @@ FROM (SELECT doc_id, string_split(text, ' ') AS w,
                  AS bi
       FROM documents)
 """
+
+ORACLE_SQL["embedding_quantize"] = """
+WITH base AS (
+  SELECT vec_id, len(embedding) AS n_dims,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, n_dims, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM base
+), qd AS (
+  SELECT vec_id, n_dims, v, scale,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+  FROM s
+), e AS (
+  SELECT vec_id, n_dims, scale,
+         list_min(q) AS q_min, list_max(q) AS q_max,
+         list_transform(range(len(v)),
+                        j -> v[j+1] - CAST(q[j+1] AS DOUBLE) * scale) AS err
+  FROM qd
+)
+SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, q_min, q_max,
+       ROUND(scale, 6) AS scale,
+       ROUND(list_sum(list_transform(err, x -> x * x)) / n_dims, 6) AS mse,
+       ROUND(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err
+FROM e
+"""
+
+ORACLE_SQL["length_quantiles"] = """
+WITH h AS (
+  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), h2 AS (
+  SELECT lang, n_chars, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS tot
+  FROM h
+)
+SELECT lang,
+       CAST(MAX(tot) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       ROUND(CAST(SUM(n_chars * c) AS DOUBLE) / CAST(MAX(tot) AS BIGINT), 6)
+           AS mean_chars,
+       MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+                THEN n_chars END) AS p50,
+       MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * CAST(tot AS DOUBLE)
+                THEN n_chars END) AS p90,
+       MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.99 * CAST(tot AS DOUBLE)
+                THEN n_chars END) AS p99
+FROM h2
+GROUP BY lang
+"""
+
+ORACLE_SQL["tfidf_topterms"] = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(CAST(tf AS DOUBLE)
+               * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6)
+             AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""

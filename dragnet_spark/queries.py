@@ -1183,6 +1183,116 @@ def q_quality_repetition(spark, sf_dir):
         F.round(top.cast("double") / (nw - 1), 6).alias("top_bigram_frac"))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column plus
+    reconstruction-error metrics — the embedding-compression ingest
+    stage (4x storage cut before ANN indexing / near-dup search).
+
+    Per vector: scale = max|x|/127 (1.0 for the all-zero vector),
+    q_j = floor(x_j/scale + 0.5) (round-half-up — engine-portable,
+    unlike banker's rounding), errors accumulated in double with the
+    same left-fold order as the DuckDB oracle.
+
+    Scale shape: a single narrow scan-project — zero shuffles, zero
+    joins; at 10^12 vectors this is embarrassingly parallel, every
+    expression is JVM-side, and the quantized output stays columnar
+    (array<tinyint> + one scale per row; here only the error metrics
+    are returned)."""
+    e = _t(spark, sf_dir, "embeddings")
+    # Materialize each intermediate once per row (a re-referenced
+    # Column expression is inlined — and recomputed — at every use).
+    d = e.select("vec_id",
+                 F.size("embedding").cast("bigint").alias("n_dims"),
+                 F.col("embedding").cast("array<double>").alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), F.abs))
+    d = d.select("vec_id", "n_dims", "v",
+                 F.when(amax > 0, amax / F.lit(127.0))
+                  .otherwise(F.lit(1.0)).alias("scale"))
+    d = d.select("vec_id", "n_dims", "v", "scale",
+                 F.transform(F.col("v"),
+                             lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+                              .cast("bigint")).alias("q"))
+    d = d.select("vec_id", "n_dims", "scale",
+                 F.array_min("q").alias("q_min"),
+                 F.array_max("q").alias("q_max"),
+                 F.zip_with(F.col("v"), F.col("q"),
+                            lambda x, qq: x - qq.cast("double")
+                            * F.col("scale")).alias("err"))
+    mse = F.aggregate(F.transform(F.col("err"), lambda x: x * x),
+                      F.lit(0.0).cast("double"),
+                      lambda acc, x: acc + x) / F.col("n_dims")
+    return d.select("vec_id", "n_dims", "q_min", "q_max",
+                    F.round(F.col("scale"), 6).alias("scale"),
+                    F.round(mse, 6).alias("mse"),
+                    F.round(F.array_max(F.transform(F.col("err"), F.abs)), 6)
+                     .alias("max_abs_err"))
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language document-length quantiles via a histogram
+    aggregation — inverse-CDF semantics (smallest value whose
+    cumulative count reaches p*n, i.e. DuckDB's quantile_disc).
+
+    Scale shape: the shuffle carries only distinct (lang, n_chars)
+    pairs with map-side-combined partial counts — exact quantiles at
+    10^12 documents WITHOUT sorting the raw rows, because the value
+    domain (document length) is bounded.  Contrast `percentile()`,
+    which collects every row of a group into one task; that is the
+    plan that dies at web scale."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("lang").orderBy("n_chars")
+    wt = Window.partitionBy("lang")
+    h = h.select("lang", "n_chars", "c",
+                 F.sum("c").over(wc).alias("cum"),
+                 F.sum("c").over(wt).alias("tot"))
+
+    def qv(p):
+        hit = F.col("cum").cast("double") \
+            >= F.lit(p) * F.col("tot").cast("double")
+        return F.min(F.when(hit, F.col("n_chars")))
+
+    return h.groupBy("lang").agg(
+        F.max("tot").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum(F.col("n_chars") * F.col("c")).cast("double")
+                / F.max("tot"), 6).alias("mean_chars"),
+        qv(0.5).alias("p50"), qv(0.9).alias("p90"), qv(0.99).alias("p99"))
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (keyword extraction for
+    training-data curation).  idf is the log-free rational form
+    (N+1)/(df+1): strictly monotone in the classic smooth-idf's
+    argument, so per-document term ranking is identical, and —
+    unlike ln(), which differs by ULPs between libms — bit-portable
+    across engines.
+
+    Scale shape: tf = ONE (doc_id, term) partial agg off the exploded
+    scan; df = a vocab-sized agg over the tf relation, broadcast back
+    (a web-corpus vocab at 1e8 terms exceeds the broadcast threshold —
+    Spark then falls back to a shuffle join on term, still safe: both
+    sides are pre-aggregated); per-doc top-3 via row_number over the
+    doc_id exchange.  Ties broken by term for determinism."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * ((F.col("n_docs") + 1).cast("double")
+                                          / (F.col("df") + 1).cast("double"))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "term", "tf", "df",
+                      F.round(score, 6).alias("tfidf")))
+    wnd = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
+                                               F.asc("term"))
+    return (scored.select("doc_id", "term", "tf", "df", "tfidf",
+                          F.row_number().over(wnd).alias("rank"))
+            .where(F.col("rank") <= 3))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1224,4 +1334,7 @@ QUERIES = {
     "dedup_segments": q_dedup_segments,
     "contamination_ngrams": q_contamination_ngrams,
     "quality_repetition": q_quality_repetition,
+    "embedding_quantize": q_embedding_quantize,
+    "length_quantiles": q_length_quantiles,
+    "tfidf_topterms": q_tfidf_topterms,
 }

@@ -57,6 +57,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "contamination_ngrams": ([r"BroadcastHashJoin"], [r"SortMergeJoin"]),
     # Repetition quality: zero shuffles — a single narrow scan-project.
     "quality_repetition": ([], [r"Exchange", r"Join"]),
+    # Quantization: embarrassingly parallel — zero shuffles/joins.
+    "embedding_quantize": ([], [r"Exchange", r"Join"]),
+    # Histogram quantiles: partial (map-side) counts before the
+    # exchange; the scan must be pruned to lang+n_chars (never text).
+    "length_quantiles": ([r"partial_|Partial",
+                          r"ReadSchema[^\n]*n_chars"],
+                         [r"ReadSchema[^\n]*text"]),
+    # TF-IDF: the vocab-sized df relation broadcasts back onto tf;
+    # nothing materializes on the driver.
+    "tfidf_topterms": ([r"BroadcastHashJoin"],
+                       [r"LocalTableScan", r"CollectLimit"]),
 }
 
 

@@ -507,3 +507,72 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_emb")
+
+
+# --------------------------------------------------------------------------
+# Quantization / histogram quantiles / TF-IDF (constructed inputs)
+# --------------------------------------------------------------------------
+
+def _write_embs(spark, tmp_path, vecs):
+    """Write an embeddings.parquet with the driver schema into tmp_path
+    and return it as an sf_dir."""
+    rows = [(int(i), [float(x) for x in v], 0) for i, v in vecs]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite") \
+     .parquet(f"{tmp_path}/embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_embedding_quantize_known_values(spark, tmp_path):
+    from dragnet_spark.queries import q_embedding_quantize
+    sf = _write_embs(spark, tmp_path, [
+        (0, [1.0, -0.5, 0.25, 0.0]),   # amax 1.0 -> scale 1/127
+        (1, [0.0, 0.0]),               # all-zero -> scale 1.0, q == 0
+    ])
+    got = {r.vec_id: r for r in q_embedding_quantize(spark, sf).collect()}
+    r0 = got[0]
+    scale = 1.0 / 127.0
+    # q_j = floor(x_j/scale + 0.5): [127, -63, 32, 0]
+    assert (r0.q_min, r0.q_max, r0.n_dims) == (-63, 127, 4)
+    errs = [1.0 - 127 * scale, -0.5 - (-63) * scale,
+            0.25 - 32 * scale, 0.0]
+    assert r0.mse == pytest.approx(
+        sum(e * e for e in errs) / 4, abs=1e-6)
+    assert r0.max_abs_err == pytest.approx(
+        max(abs(e) for e in errs), abs=1e-6)
+    r1 = got[1]
+    assert (r1.q_min, r1.q_max, r1.scale, r1.mse, r1.max_abs_err) \
+        == (0, 0, 1.0, 0.0, 0.0)
+
+
+def test_length_quantiles_inverse_cdf(spark, tmp_path):
+    from dragnet_spark.queries import q_length_quantiles
+    # lengths 1..10 in one language: inverse-CDF quantiles match
+    # DuckDB quantile_disc([.5, .9, .99]) == [5, 9, 10].
+    sf = _write_docs(spark, tmp_path,
+                     [(i, "x" * i) for i in range(1, 11)])
+    r, = q_length_quantiles(spark, sf).collect()
+    assert (r.lang, r.n_docs, r.min_chars, r.max_chars) == ("en", 10, 1, 10)
+    assert (r.p50, r.p90, r.p99) == (5, 9, 10)
+    assert r.mean_chars == pytest.approx(5.5, abs=1e-6)
+
+
+def test_tfidf_topterms_ranking_and_ties(spark, tmp_path):
+    from dragnet_spark.queries import q_tfidf_topterms
+    sf = _write_docs(spark, tmp_path, [
+        (1, "cat cat dog"),
+        (2, "dog bird"),
+        (3, "bird bird bird fish"),
+    ])
+    rows = q_tfidf_topterms(spark, sf).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.tfidf) for r in rows}
+    # N=3; rational idf (N+1)/(df+1): cat/fish -> 2.0, dog/bird -> 4/3
+    assert got[(1, 1)] == ("cat", 2, 1, 4.0)
+    assert got[(1, 2)][0] == "dog"
+    assert got[(3, 1)] == ("bird", 3, 2, 4.0)
+    assert got[(3, 2)] == ("fish", 1, 1, 2.0)
+    # doc 2: dog and bird tie at 1.333333 -> term asc breaks the tie
+    assert got[(2, 1)][0] == "bird" and got[(2, 2)][0] == "dog"
+    assert got[(2, 1)][3] == got[(2, 2)][3] == 1.333333
+    assert len(rows) == 6   # every doc has exactly 2 distinct terms
