@@ -819,3 +819,57 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
       FROM scored)
 WHERE rn <= 3
 """
+
+ORACLE_SQL["ann_quantized_topk"] = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM base
+), qc AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+  FROM s
+), qb AS (
+  SELECT q AS qb FROM qc WHERE vec_id = 0
+)
+SELECT vec_id,
+       ROUND(CAST(list_sum(list_transform(range(len(q)),
+                                          j -> q[j+1] * qb[j+1])) AS DOUBLE)
+             / (SQRT(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE))
+                * SQRT(CAST(list_sum(list_transform(qb, x -> x * x))
+                            AS DOUBLE))), 6) AS cos_q
+FROM qc, qb
+WHERE vec_id <> 0
+ORDER BY cos_q DESC, vec_id
+LIMIT 10
+"""
+
+ORACLE_SQL["events_sessionize"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 14400000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, us, v,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us)
+             AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       ROUND(CAST(MAX(us) - MIN(us) AS DOUBLE) / 1e6, 6) AS duration_s,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""

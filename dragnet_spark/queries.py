@@ -1293,6 +1293,94 @@ def q_tfidf_topterms(spark, sf_dir):
             .where(F.col("rank") <= 3))
 
 
+def _quant_codes(e):
+    """Shared int8 quantizer: (vec_id, q) with q = symmetric int8
+    codes of the embedding (same formula as q_embedding_quantize)."""
+    d = e.select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), F.abs))
+    d = d.select("vec_id", "v",
+                 F.when(amax > 0, amax / F.lit(127.0))
+                  .otherwise(F.lit(1.0)).alias("scale"))
+    return d.select("vec_id",
+                    F.transform(F.col("v"),
+                                lambda x: F.floor(x / F.col("scale")
+                                                  + F.lit(0.5))
+                                 .cast("bigint")).alias("q"))
+
+
+def q_ann_quantized_topk(spark, sf_dir):
+    """Cosine top-10 computed entirely on int8-quantized codes — the
+    production retrieval shape (4x less memory bandwidth than f32;
+    rescore the short list with exact vectors if needed).
+
+    cos_q = dot_int / (sqrt(ssq_int_a) * sqrt(ssq_int_b)): every
+    accumulation is EXACT BIGINT integer arithmetic (codes are
+    <=127, so a 4096-dim dot still fits with 2^40 headroom), and the
+    only floats are two sqrts and one division — bit-identical on any
+    engine, which is the determinism story symmetric quantization buys
+    on top of the bandwidth story.
+
+    Scale shape: same as ann_cosine_topk — broadcast query codes,
+    narrow scan + TakeOrdered top-k, no shuffle of the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    qc = _quant_codes(e)
+    query = F.broadcast(qc.where(F.col("vec_id") == 0)
+                        .select(F.col("q").alias("qb")))
+
+    def idot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    a, b = F.col("q"), F.col("qb")
+    cos = idot(a, b).cast("double") \
+        / (F.sqrt(idot(a, a).cast("double"))
+           * F.sqrt(idot(b, b).cast("double")))
+    return (qc.where(F.col("vec_id") != 0).crossJoin(query)
+            .select("vec_id", F.round(cos, 6).alias("cos_q"))
+            .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+            .limit(10))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (gap > 4 h starts
+    a new session) with per-session aggregates — the canonical
+    event-analytics window operator.
+
+    Determinism: gaps are compared in EXACT integer microseconds
+    (unix_micros / epoch_us), the running session index is an integer
+    window sum, and the value sum goes through DECIMAL(18,2).
+
+    Scale shape: ONE exchange on user_id serves both windows (lag +
+    running sum share the same partitioning and ordering) and the
+    session aggregation re-groups within it; event-time skew is
+    per-user, which the 10^12-row story handles by salting only the
+    pathological power users."""
+    ev = _t(spark, sf_dir, "events")
+    gap_us = 4 * 3600 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the session zone is pinned UTC (session.py)
+    # so the cast keeps the wall clock and unix_micros == epoch_us.
+    e = ev.select("user_id", "ts", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                  _dec("value").alias("v"))
+    e = e.select("user_id", "us", "v",
+                 F.when(F.lag("us").over(w).isNull()
+                        | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+                        F.lit(1)).otherwise(F.lit(0)).alias("new_sess"))
+    e = e.select("user_id", "us", "v",
+                 F.sum("new_sess").over(
+                     Window.partitionBy("user_id").orderBy("us")
+                 ).alias("session_id"))
+    return e.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.round((F.max("us") - F.min("us")).cast("double") / 1e6, 6)
+         .alias("duration_s"),
+        F.sum("v").cast("double").alias("sum_value"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1337,4 +1425,6 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "length_quantiles": q_length_quantiles,
     "tfidf_topterms": q_tfidf_topterms,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "events_sessionize": q_events_sessionize,
 }

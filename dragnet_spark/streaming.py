@@ -88,6 +88,40 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str,
     return spark.table(table)
 
 
+def streaming_sessions(events: DataFrame, gap: str = "4 hours") -> DataFrame:
+    """Native session windows: ``F.session_window`` merges an event
+    into the current session while its gap to the previous event is
+    under ``gap``, closing the window ``gap`` after the last event —
+    the streaming form of :func:`dragnet_spark.queries.
+    q_events_sessionize` (which computes the same sessions with lag +
+    running-sum windows in batch).  State per (user, open session) is
+    evicted once the watermark passes the session close, so memory is
+    bounded by the lateness horizon times the active-user count, not
+    the stream's history — the property the batch window form cannot
+    offer.  Sums go through DECIMAL(18,2) so stream == batch exactly."""
+    dec = F.col("value").cast("decimal(18,2)")
+    return (events.groupBy(F.session_window("ts", gap).alias("w"),
+                           "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"),
+                 F.sum(dec).cast("double").alias("sum_value")))
+
+
+def run_streaming_sessions(spark: SparkSession, sf_dir: str,
+                           table: str = "stream_sessions",
+                           gap: str = "4 hours") -> DataFrame:
+    """Run the session-window aggregation over the file stream to
+    completion (availableNow trigger) and return the result."""
+    q = (streaming_sessions(stream_events(spark, sf_dir), gap)
+         .writeStream.format("memory").queryName(table)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def run_streaming_stats(spark: SparkSession, sf_dir: str,
                         table: str = "stream_stats") -> DataFrame:
     """Run the windowed stats over the file stream to completion

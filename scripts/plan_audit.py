@@ -68,6 +68,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # nothing materializes on the driver.
     "tfidf_topterms": ([r"BroadcastHashJoin"],
                        [r"LocalTableScan", r"CollectLimit"]),
+    # Quantized ANN: broadcast query codes + map-side partial top-k;
+    # never an all-pairs cartesian.
+    "ann_quantized_topk": ([r"TakeOrderedAndProject"],
+                           [r"CartesianProduct"]),
+    # Sessionize: both window specs and the session aggregation ride
+    # ONE user_id exchange (the single-exchange invariant is pinned
+    # exactly in tests/test_training_ops.py); partial agg present.
+    "events_sessionize": ([r"Window", r"partial_|Partial"],
+                          [r"CartesianProduct"]),
 }
 
 

@@ -576,3 +576,85 @@ def test_tfidf_topterms_ranking_and_ties(spark, tmp_path):
     assert got[(2, 1)][0] == "bird" and got[(2, 2)][0] == "dog"
     assert got[(2, 1)][3] == got[(2, 2)][3] == 1.333333
     assert len(rows) == 6   # every doc has exactly 2 distinct terms
+
+
+# --------------------------------------------------------------------------
+# Quantized ANN retrieval / event sessionization
+# --------------------------------------------------------------------------
+
+def test_ann_quantized_topk_recall_vs_exact(spark):
+    """int8 retrieval must agree with the exact f32 top-10 on nearly
+    every neighbour (quantization perturbs cosines by <1e-2)."""
+    from dragnet_spark.queries import q_ann_cosine_topk, q_ann_quantized_topk
+    exact = {r.vec_id for r in q_ann_cosine_topk(spark, SF).collect()}
+    quant = {r.vec_id for r in q_ann_quantized_topk(spark, SF).collect()}
+    assert len(exact & quant) >= 8
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, value). Writes the driver
+    events schema (ts as TIMESTAMP_NTZ, like the testdata parquet)."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(int(e), t, int(u), "click", float(v), "{}")
+         for e, t, u, v in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string"
+    ).select("event_id",
+             F.col("ts").cast("timestamp_ntz").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite") \
+      .parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_events_sessionize_gap_semantics(spark, tmp_path):
+    from dragnet_spark.queries import q_events_sessionize
+    sf = _write_events(spark, tmp_path, [
+        # user 1: two events 1h apart (one session), then a 5h gap
+        (1, "2024-01-01 00:00:00", 1, 1.5),
+        (2, "2024-01-01 01:00:00", 1, 2.5),
+        (3, "2024-01-01 06:00:00", 1, 4.0),
+        # user 2: single event
+        (4, "2024-01-02 12:00:00", 2, 10.0),
+    ])
+    got = {(r.user_id, r.session_id):
+           (r.n_events, r.duration_s, r.sum_value)
+           for r in q_events_sessionize(spark, sf).collect()}
+    assert got == {(1, 1): (2, 3600.0, 4.0),
+                   (1, 2): (1, 0.0, 4.0),
+                   (2, 1): (1, 0.0, 10.0)}
+
+
+def test_events_sessionize_single_exchange(spark):
+    """Both window specs (lag over ts, running sum over us) and the
+    final session aggregation must share ONE user_id exchange."""
+    from dragnet_spark.queries import q_events_sessionize
+    plan = q_events_sessionize(spark, SF)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("simple"))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_streaming_sessions_match_batch(spark):
+    """session_window (streaming, state bounded by the watermark) must
+    produce exactly the sessions the batch lag/running-sum form
+    (q_events_sessionize) computes: same (user, start), same event
+    count, same end, same exact-decimal value sum."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.queries import q_events_sessionize
+    from dragnet_spark.streaming import run_streaming_sessions
+
+    batch = {(r.user_id, r.start_us): (r.n_events, r.end_us, r.sum_value)
+             for r in q_events_sessionize(spark, SF).collect()}
+    got = run_streaming_sessions(spark, SF, table="t_sess_parity")
+    stream = {(r.user_id, r.su): (r.n_events, r.eu, r.sum_value)
+              for r in got.select(
+                  "user_id", "n_events", "sum_value",
+                  F.unix_micros(F.col("first_ts").cast("timestamp"))
+                   .alias("su"),
+                  F.unix_micros(F.col("last_ts").cast("timestamp"))
+                   .alias("eu")).collect()}
+    assert len(batch) > 0
+    assert stream == batch
