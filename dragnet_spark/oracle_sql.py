@@ -873,3 +873,38 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM s
 GROUP BY user_id, session_id
 """
+
+ORACLE_SQL["curate_decisions"] = """
+WITH feat AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+             AS dup_word_frac,
+         list_distinct(list_transform(range(1, len(w)),
+             i -> array_to_string(w[i:i+1], ' '))) AS gs,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+             AS dup_rank
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS g FROM feat WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT doc_id, MAX(n_g) AS n_g, COUNT(*) AS n_hit
+  FROM (SELECT doc_id, len(gs) AS n_g, unnest(gs) AS g
+        FROM feat WHERE doc_id % 97 <> 0) t
+  JOIN ev USING (g)
+  GROUP BY doc_id
+)
+SELECT doc_id, reason, reason = 'keep' AS keep
+FROM (
+  SELECT f.doc_id,
+         CASE WHEN f.doc_id % 97 = 0 THEN 'eval_holdout'
+              WHEN f.dup_rank > 1 THEN 'duplicate'
+              WHEN f.n_words < 5 THEN 'too_short'
+              WHEN f.dup_word_frac > 0.6 THEN 'repetitive'
+              WHEN COALESCE(CAST(h.n_hit AS DOUBLE) / h.n_g, 0.0) > 0.5
+                   THEN 'contaminated'
+              ELSE 'keep' END AS reason
+  FROM feat f LEFT JOIN hits h ON f.doc_id = h.doc_id
+) s
+"""

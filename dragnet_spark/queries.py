@@ -1381,6 +1381,63 @@ def q_events_sessionize(spark, sf_dir):
         F.sum("v").cast("double").alias("sum_value"))
 
 
+def q_curate_decisions(spark, sf_dir):
+    """End-to-end curation gate: one keep/drop decision per document
+    with the first failing rule as the reason — the composition a
+    training-data pipeline actually ships (dedup + holdout + length +
+    repetition + benchmark-contamination in precedence order):
+
+    eval_holdout > duplicate > too_short > repetitive > contaminated
+    > keep.
+
+    Scale shape: the exact-dup rank is one md5-fingerprint window
+    shuffle; contamination hits re-use the broadcast eval n-gram set
+    (never a shuffle of the corpus against the benchmark suite) and
+    come back to the document axis via one doc_id aggregation; the
+    rule cascade itself is a pure projection.  Every rule is also
+    available standalone (dedup_exact / quality_repetition /
+    contamination_ngrams) — this operator is the proof they compose
+    without extra passes over the text."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    base = d.select("doc_id", F.md5("text").alias("fp"), arr.alias("w"))
+    base = base.select(
+        "doc_id", "fp",
+        F.size("w").alias("n_words"),
+        (F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"))
+        .alias("dup_word_frac"),
+        F.when(F.size("w") >= 2, F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 2)))
+        ).otherwise(F.array().cast("array<string>")).alias("bi"))
+    rn = F.row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id"))
+    base = base.select("doc_id", "n_words", "dup_word_frac",
+                       F.array_distinct("bi").alias("gs"),
+                       rn.alias("dup_rank"))
+    ev = (base.where(F.col("doc_id") % 97 == 0)
+          .select(F.explode("gs").alias("g")).distinct())
+    hits = (base.where(F.col("doc_id") % 97 != 0)
+            .select("doc_id", F.size("gs").alias("n_g"),
+                    F.explode("gs").alias("g"))
+            .join(F.broadcast(ev), "g")
+            .groupBy("doc_id", "n_g")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    j = base.join(hits.select(
+        "doc_id", (F.col("n_hit").cast("double") / F.col("n_g"))
+        .alias("hit_frac")), "doc_id", "left")
+    reason = (F.when(F.col("doc_id") % 97 == 0, F.lit("eval_holdout"))
+              .when(F.col("dup_rank") > 1, F.lit("duplicate"))
+              .when(F.col("n_words") < 5, F.lit("too_short"))
+              .when(F.col("dup_word_frac") > 0.6, F.lit("repetitive"))
+              .when(F.coalesce(F.col("hit_frac"), F.lit(0.0)) > 0.5,
+                    F.lit("contaminated"))
+              .otherwise(F.lit("keep")))
+    j = j.select("doc_id", reason.alias("reason"))
+    return j.select("doc_id", "reason", (F.col("reason") == "keep")
+                    .alias("keep"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1427,4 +1484,5 @@ QUERIES = {
     "tfidf_topterms": q_tfidf_topterms,
     "ann_quantized_topk": q_ann_quantized_topk,
     "events_sessionize": q_events_sessionize,
+    "curate_decisions": q_curate_decisions,
 }

@@ -77,6 +77,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # exactly in tests/test_training_ops.py); partial agg present.
     "events_sessionize": ([r"Window", r"partial_|Partial"],
                           [r"CartesianProduct"]),
+    # Curation gate: the eval n-gram set broadcasts (never shuffles
+    # the corpus against the benchmark suite); no driver-side collect.
+    "curate_decisions": ([r"BroadcastHashJoin"],
+                         [r"CartesianProduct", r"LocalTableScan",
+                          r"CollectLimit"]),
 }
 
 

@@ -658,3 +658,27 @@ def test_streaming_sessions_match_batch(spark):
                    .alias("eu")).collect()}
     assert len(batch) > 0
     assert stream == batch
+
+
+def test_curate_decisions_all_reasons(spark, tmp_path):
+    """One constructed doc per rule, checking the precedence cascade
+    (eval_holdout > duplicate > too_short > repetitive >
+    contaminated > keep)."""
+    from dragnet_spark.queries import q_curate_decisions
+    keep_text = "m n o p r s t u"
+    sf = _write_docs(spark, tmp_path, [
+        (0, "w x y z q"),            # doc_id%97==0 -> eval_holdout
+        (1, "a b a b a b a"),        # dup_word_frac 5/7 -> repetitive
+        (2, "p q r"),                # 3 words -> too_short
+        (3, keep_text),              # -> keep
+        (4, keep_text),              # same fp, higher doc_id -> duplicate
+        (5, "c d w x y z q e"),      # 4/7 eval bigrams -> contaminated
+    ])
+    got = {r.doc_id: (r.reason, r.keep)
+           for r in q_curate_decisions(spark, sf).collect()}
+    assert got == {0: ("eval_holdout", False),
+                   1: ("repetitive", False),
+                   2: ("too_short", False),
+                   3: ("keep", True),
+                   4: ("duplicate", False),
+                   5: ("contaminated", False)}
