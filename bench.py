@@ -281,7 +281,10 @@ def driver_bench() -> None:
 
     # Per-DM partitioned sink (S9 at file scale): flagship output
     # written partitionBy(dm) + a pruned single-DM read-back.
-    timings["partitioned_sink"] = round(_bench_partitioned_sink(spark), 3)
+    # Best-of-2 like every other row — it runs the whole pipeline, the
+    # shape this VM jitters hardest on (single-shot flagged 2x spuriously).
+    timings["partitioned_sink"] = round(
+        min(_bench_partitioned_sink(spark) for _ in range(2)), 3)
     spark.stop()
 
     # Regression detection vs the committed per-query pin
