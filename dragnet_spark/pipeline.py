@@ -30,7 +30,6 @@ from __future__ import annotations
 import base64
 import json
 import time
-from pathlib import Path
 from collections.abc import Iterator
 
 import numpy as np
@@ -225,7 +224,8 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
                                  "text": s["text"], "media_ref": s["media_ref"],
                                  "offset": s["offset"]})
                 rows.append({**_metrics_row(
-                    doc_id, metrics, len(spans),
+                    doc_id, {**metrics, "n_dms": int(out.shape[0])},
+                    len(spans),
                     (time.perf_counter() - t0) * 1e3, run_id, cfg_l),
                     "payload": None})
             yield pd.DataFrame(rows,
@@ -449,7 +449,10 @@ def process_chunk_rows(chunks: DataFrame, cfg_json: str,
                 # n_spans_out: spans emitted for this chunk (matches
                 # the per-document path's len(spans) semantics).
                 n_emitted = len(rows) - n_rows_before
-                mrow = _metrics_row(r.doc_id, metrics, n_emitted,
+                mrow = _metrics_row(r.doc_id,
+                                    {**metrics,
+                                     "n_dms": int(out.shape[0])},
+                                    n_emitted,
                                     (time.perf_counter() - t0) * 1e3,
                                     run_id, cfg_l, int(r.chunk_id),
                                     int(r.n_chunks))
@@ -616,7 +619,16 @@ def _run_job_chunked(spark: SparkSession, docs: DataFrame, cfg: RunConfig,
         parts_new = process_chunk_rows(todo, cfg_json, mask_json,
                                        run_id=run_id,
                                        parallelism=parallelism)
-        parts_new.write.mode("append").parquet(chunks_path)
+        # Append extends the ledger ONLY when it was actually read and
+        # anti-joined above (n_todo set).  Otherwise — resume=False, or
+        # a resume whose ledger read failed — the full chunk set is
+        # being recomputed, and appending onto a leftover table from a
+        # previous run of the same (run_id, config_id) would duplicate
+        # chunk rows; reassemble_parts would then b''.join the
+        # duplicates into silently doubled-length series.  Overwrite
+        # makes the rerun idempotent.
+        mode = "append" if n_todo is not None else "overwrite"
+        parts_new.write.mode(mode).parquet(chunks_path)
     # Reassemble every chunk of the docs being (re)computed — the done
     # chunks come back from the table, not from recomputation.  `docs`
     # was already doc-level anti-joined, so docs whose spans are
@@ -658,23 +670,69 @@ def run_job(spark: SparkSession, docs: DataFrame | str, cfg: RunConfig,
     ckpt_path = f"{out_dir}/checkpoint"
 
     n_input, n_skipped, n_remaining = None, 0, None
+    spans_readable = False
     if resume:
         n_input = docs.count()          # only the resume path needs counts
         try:
-            done = (spark.read.parquet(spans_path)
+            meta = (spark.read.parquet(spans_path)
                     .where(F.col("kind") == "metrics")
                     .where(F.get_json_object("text", "$.run_id") == run_id)
                     .where(F.get_json_object("text", "$.config_id")
-                           == cfg.config_id)
-                    .select("doc_id").distinct())
+                           == cfg.config_id))
+            spans_readable = True
+            if chunked:
+                # Chunked reassembly is NOT task-atomic per document: a
+                # doc's chunk metrics rows and its reassembled series
+                # rows come from different tasks, so under a
+                # task-commit committer a driver kill can land metrics
+                # without series.  A doc counts done only when its
+                # metrics cover every chunk AND the spans table holds
+                # at least n_dms distinct timeseries offsets for it
+                # (n_dms is recorded in the metrics JSON; rows from
+                # runs predating that field never count done — the
+                # safe direction).  Caveat: the timeseries count is
+                # not run-scoped (series rows carry no run_id), so a
+                # shared out_dir across configs weakens — never
+                # strengthens — the series check.
+                m = meta.select(
+                    "doc_id",
+                    F.get_json_object("text", "$.chunk_id").cast("int")
+                     .alias("chunk_id"),
+                    F.get_json_object("text", "$.n_chunks").cast("int")
+                     .alias("n_chunks"),
+                    F.get_json_object("text", "$.n_dms").cast("int")
+                     .alias("n_dms"))
+                md = (m.groupBy("doc_id")
+                      .agg(F.countDistinct("chunk_id").alias("nc"),
+                           F.max("n_chunks").alias("n_chunks"),
+                           F.max("n_dms").alias("n_dms")))
+                ts = (spark.read.parquet(spans_path)
+                      .where(F.col("kind") == "timeseries")
+                      .groupBy("doc_id")
+                      .agg(F.countDistinct("offset").alias("n_ts")))
+                done = (md.join(ts, "doc_id", "left")
+                        .where((F.col("nc") == F.col("n_chunks"))
+                               & (F.coalesce(F.col("n_ts"), F.lit(0))
+                                  >= F.coalesce(F.col("n_dms"),
+                                                F.lit(1 << 30))))
+                        .select("doc_id"))
+            else:
+                # Per-document path: one task emits a doc's spans AND
+                # its metrics row, so the metrics row alone is an
+                # atomic done marker.
+                done = meta.select("doc_id").distinct()
             docs = docs.join(done, "doc_id", "left_anti")
             n_remaining = docs.count()
             n_skipped = n_input - n_remaining
         except Exception:
             n_remaining = n_input
-        if n_remaining == 0 and not Path(f"{spans_path}/_SUCCESS").exists():
-            # Nothing ever written for this out_dir: return cleanly
-            # instead of crashing on the missing spans path below.
+        if n_remaining == 0 and not spans_readable:
+            # Nothing ever written for this out_dir (the spans read
+            # failed) and no input: return cleanly instead of crashing
+            # on the missing spans path below.  When spans ARE readable
+            # the checkpoint derivation below still runs even with no
+            # remaining work, so a rerun refreshes a stale/missing
+            # checkpoint table regardless of _SUCCESS markers.
             return {"n_input": n_input, "n_skipped": n_skipped,
                     "n_processed": 0}
 

@@ -1343,9 +1343,16 @@ def q_ann_quantized_topk(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
-    """Gap-based sessionization of the event stream (gap > 4 h starts
+    """Gap-based sessionization of the event stream (gap >= 4 h starts
     a new session) with per-session aggregates — the canonical
     event-analytics window operator.
+
+    Boundary semantics match ``F.session_window`` exactly: a session
+    window is the half-open ``[start, last_ts + gap)``, so an event
+    arriving EXACTLY gap after its predecessor opens a new session in
+    both the batch form (this predicate) and the streaming form
+    (``streaming.streaming_sessions``) — stream == batch row-for-row
+    including the exact-gap edge.
 
     Determinism: gaps are compared in EXACT integer microseconds
     (unix_micros / epoch_us), the running session index is an integer
@@ -1366,7 +1373,7 @@ def q_events_sessionize(spark, sf_dir):
                   _dec("value").alias("v"))
     e = e.select("user_id", "us", "v",
                  F.when(F.lag("us").over(w).isNull()
-                        | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+                        | ((F.col("us") - F.lag("us").over(w)) >= gap_us),
                         F.lit(1)).otherwise(F.lit(0)).alias("new_sess"))
     e = e.select("user_id", "us", "v",
                  F.sum("new_sess").over(

@@ -617,13 +617,23 @@ def test_events_sessionize_gap_semantics(spark, tmp_path):
         (3, "2024-01-01 06:00:00", 1, 4.0),
         # user 2: single event
         (4, "2024-01-02 12:00:00", 2, 10.0),
+        # user 3: EXACTLY the 4h gap — session_window's half-open
+        # [start, last+gap) excludes it, so batch must split too
+        (5, "2024-01-03 00:00:00", 3, 1.0),
+        (6, "2024-01-03 04:00:00", 3, 2.0),
+        # user 4: one microsecond under the gap — stays merged
+        (7, "2024-01-04 00:00:00.000001", 4, 3.0),
+        (8, "2024-01-04 04:00:00.000000", 4, 4.0),
     ])
     got = {(r.user_id, r.session_id):
            (r.n_events, r.duration_s, r.sum_value)
            for r in q_events_sessionize(spark, sf).collect()}
     assert got == {(1, 1): (2, 3600.0, 4.0),
                    (1, 2): (1, 0.0, 4.0),
-                   (2, 1): (1, 0.0, 10.0)}
+                   (2, 1): (1, 0.0, 10.0),
+                   (3, 1): (1, 0.0, 1.0),
+                   (3, 2): (1, 0.0, 2.0),
+                   (4, 1): (2, 14399.999999, 7.0)}
 
 
 def test_events_sessionize_single_exchange(spark):
