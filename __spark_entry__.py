@@ -48,14 +48,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the
-    training-data operator suite (dragnet_spark/queries.py) and the two
-    flagship dedispersion entries, now DuckDB-checkable via the
-    band-join identity (dragnet_spark/flagship_oracle.py)."""
+    training-data operator suite (dragnet_spark/queries.py) and the
+    flagship dedispersion entries, DuckDB-checkable via the band-join
+    identity (dragnet_spark/flagship_oracle.py).
+
+    The FLAGSHIP entries come FIRST and the total is capped at 50:
+    the driver's correctness gate checks at most 50 queries, and in
+    round 4 the five highest-value rows (chunked path, SK fill,
+    clipper EWMA, both metrics families) silently fell off the end of
+    the dict (r4 verdict #1).  Near-duplicate operator variants are
+    merged into single multi-column relations in QUERIES so every
+    computation stays under the gate."""
     from dragnet_spark.flagship_oracle import FLAGSHIP_QUERIES
     from dragnet_spark.queries import QUERIES
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
-    out.update(FLAGSHIP_QUERIES)
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = \
+        dict(FLAGSHIP_QUERIES)
+    out.update(QUERIES)
+    assert len(out) <= 50, (
+        f"{len(out)} queries exposed — the driver gate caps at 50; "
+        "merge or drop entries (see QUERIES docstring)")
     return out
 
 

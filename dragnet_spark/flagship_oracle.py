@@ -1044,6 +1044,152 @@ def q_dedisperse_skew_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _checksum_series(rows)
 
 
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-pipeline counter families (A7/A9) under ONE driver row —
+    r5 gate consolidation of the former ``sk_metrics`` and
+    ``clip_metrics`` entries, both still cell-checked: the SK run's
+    (n_blocks, n_sk_masked_intervals) and the clip run's
+    n_clipped_samples, unpivoted to (family, doc_id, metric, value).
+    Each family's pipeline runs once (``stack`` unpivots in the same
+    projection — two selects over the run would execute the
+    mapInPandas pipeline twice)."""
+    sk = q_sk_metrics(spark, sf_dir)
+    cl = q_clip_metrics(spark, sf_dir)
+    sk_u = sk.select(
+        F.lit("sk").alias("family"), "doc_id",
+        F.expr("stack(2, 'n_blocks', n_blocks, "
+               "'n_sk_masked_intervals', n_sk_masked_intervals) "
+               "AS (metric, value)"))
+    cl_u = cl.select(
+        F.lit("clip").alias("family"), "doc_id",
+        F.expr("stack(1, 'n_clipped_samples', n_clipped_samples) "
+               "AS (metric, value)"))
+    return sk_u.unionByName(cl_u)
+
+
+def pipeline_metrics_oracle_sql() -> str:
+    """Union of the two metrics oracles, unpivoted to the merged
+    (family, doc_id, metric, value) shape.  DuckDB accepts a
+    parenthesized full query (its own WITH chain included) as a
+    derived table, so the component oracles embed verbatim."""
+    sk = sk_metrics_oracle_sql()
+    cl = clip_metrics_oracle_sql()
+    return f"""SELECT 'sk' AS family, doc_id, 'n_blocks' AS metric,
+       CAST(n_blocks AS BIGINT) AS value FROM ({sk}) sk1
+UNION ALL
+SELECT 'sk', doc_id, 'n_sk_masked_intervals',
+       CAST(n_sk_masked_intervals AS BIGINT) FROM ({sk}) sk2
+UNION ALL
+SELECT 'clip', doc_id, 'n_clipped_samples',
+       CAST(n_clipped_samples AS BIGINT) FROM ({cl}) cl1
+"""
+
+
+# ----- stateful streaming dedisperse under the driver gate ------------------
+
+_STREAM_CUTS = (0, 100, 128, 300, 512)   # uneven, off block boundaries
+_stream_run_seq = [0]                    # unique memory-sink names per call
+
+
+def _stream_strip_dir(spark: SparkSession) -> str:
+    """Write the tiny corpus as raw-sample strip files, split so the
+    halo tail AND the clipper EWMA must cross a micro-batch boundary:
+    file 000 carries each document's first two strips, file 001 the
+    rest, with mtimes ordered so maxFilesPerTrigger=1 streams them as
+    two triggers.  App-id-scoped path: concurrent sessions never race
+    (and a session reuses its own export)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .generate import make_corpus
+    from .spans import decode_document
+
+    base = (f"/tmp/dragnet_stream_strips/"
+            f"{spark.sparkContext.applicationId}")
+    if os.path.exists(f"{base}/.done"):
+        return base
+    os.makedirs(base, exist_ok=True)
+    first, rest = [], []
+    for doc in make_corpus("tiny"):
+        header, data, _media = decode_document(doc["spans"])
+        for i in range(len(_STREAM_CUTS) - 1):
+            lo, hi = _STREAM_CUTS[i], _STREAM_CUTS[i + 1]
+            strip = (doc["doc_id"], header.to_json(), lo,
+                     np.ascontiguousarray(data[lo:hi]).tobytes())
+            (first if i < 2 else rest).append(strip)
+    for fname, strips in (("000.parquet", first), ("001.parquet", rest)):
+        table = pa.table({
+            "doc_id": pa.array([s[0] for s in strips], pa.string()),
+            "header": pa.array([s[1] for s in strips], pa.string()),
+            "strip_offset": pa.array([s[2] for s in strips], pa.int64()),
+            "payload": pa.array([s[3] for s in strips], pa.binary()),
+        })
+        pq.write_table(table, f"{base}/{fname}")
+    now = _time.time()
+    os.utime(f"{base}/000.parquet", (now - 10, now - 10))
+    os.utime(f"{base}/001.parquet", (now + 5, now + 5))
+    with open(f"{base}/.done", "w") as fh:
+        fh.write("ok")
+    return base
+
+
+def q_dedisperse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL stateful streaming dedisperse (W3 streaming form,
+    ``streaming.streaming_dedisperse``) under the driver gate: the tiny
+    corpus arrives as uneven raw strips across two file-source
+    micro-batches — the halo tail and the clipper EWMA statics live in
+    the state store between triggers — with the CLIPPER ACTIVE (the
+    config the chunked batch path cannot run), and the emitted per-DM
+    chunks, exploded by their absolute output offsets, are verified
+    cell-exactly against the SAME DuckDB EWMA-unrolled reconstruction
+    as the batch ``dedisperse_clipped`` query (``clip_full_oracle_sql``
+    — stream == batch == independent SQL)."""
+    from .streaming import STRIP_SCHEMA, streaming_dedisperse
+
+    export_samples("tiny")
+    base = _stream_strip_dir(spark)
+    _stream_run_seq[0] += 1
+    qname = f"dedisp_stream_gate_{_stream_run_seq[0]}"
+    stream = (spark.readStream.schema(STRIP_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(base))
+    q = (streaming_dedisperse(stream, _clip_full_cfg(), _clip_mask())
+         .writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    chunks = (spark.table(qname)
+              .where(F.col("dm_index") >= 0)
+              .select("doc_id", "dm_index", "out_offset", "series"))
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for doc_id, dm_index, off, series in zip(
+                    pdf["doc_id"], pdf["dm_index"], pdf["out_offset"],
+                    pdf["series"]):
+                arr = np.frombuffer(bytes(series), dtype="<f4")
+                frames.append(pd.DataFrame({
+                    "doc_id": doc_id,
+                    "dm_index": np.int64(dm_index),
+                    "t_out": np.int64(off)
+                    + np.arange(arr.size, dtype=np.int64),
+                    "value": arr.astype(np.float64),
+                }))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame({"doc_id": pd.Series(dtype=object),
+                                      "dm_index": pd.Series(dtype=np.int64),
+                                      "t_out": pd.Series(dtype=np.int64),
+                                      "value": pd.Series(dtype=np.float64)}))
+
+    return chunks.mapInPandas(explode, _SERIES_SCHEMA)
+
+
+# Flagship/metrics entries come FIRST in __spark_entry__.queries():
+# CORRECTNESS_r04 capped at 50 rows and silently dropped the LAST five
+# queries — the chunked path, the SK fill and the clipper EWMA chain
+# (r4 verdict #1).  Leading with the reference's core guarantees those
+# rows can never fall off a driver-side cap again.
 FLAGSHIP_QUERIES = {
     "dedisperse_tiny": q_dedisperse_tiny,
     "dedisperse_zap_decimate": q_dedisperse_zap_decimate,
@@ -1052,8 +1198,8 @@ FLAGSHIP_QUERIES = {
     "dedisperse_skew_chunked": q_dedisperse_skew_chunked,
     "dedisperse_sk_full": q_dedisperse_sk_full,
     "dedisperse_clipped": q_dedisperse_clipped,
-    "sk_metrics": q_sk_metrics,
-    "clip_metrics": q_clip_metrics,
+    "dedisperse_stream": q_dedisperse_stream,
+    "pipeline_metrics": q_pipeline_metrics,
 }
 
 
@@ -1071,6 +1217,6 @@ def flagship_oracle_sql() -> dict[str, str]:
         "dedisperse_skew_chunked": skew_oracle_sql(),
         "dedisperse_sk_full": sk_full_oracle_sql(),
         "dedisperse_clipped": clip_full_oracle_sql(),
-        "sk_metrics": sk_metrics_oracle_sql(),
-        "clip_metrics": clip_metrics_oracle_sql(),
+        "dedisperse_stream": clip_full_oracle_sql(),
+        "pipeline_metrics": pipeline_metrics_oracle_sql(),
     }

@@ -90,36 +90,32 @@ UNION
 SELECT user_id FROM events WHERE event_type = 'click'
 """
 
-ORACLE_SQL["median_lower"] = """
+# A3 + A4 merged (r5 gate consolidation): both statistics derive from
+# the same ranked ordering.
+ORACLE_SQL["robust_stats"] = """
 WITH ranked AS (
   SELECT event_type, value, event_id,
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
-)
-SELECT event_type, value AS median_value, n
-FROM ranked WHERE rn = FLOOR((n - 1) / 2) + 1
-"""
-
-ORACLE_SQL["trimmed_stats"] = """
-WITH ranked AS (
-  SELECT event_type, value, event_id,
-         ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS rn,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+), med AS (
+  SELECT event_type, value AS median_value, n
+  FROM ranked WHERE rn = FLOOR((n - 1) / 2) + 1
 ), lims AS (
   SELECT *, FLOOR(n * 0.8 + 0.5) AS ln,
          FLOOR((n - FLOOR(n * 0.8 + 0.5)) / 2) AS strt
   FROM ranked
+), trm AS (
+  SELECT event_type,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS trimmed_avg,
+         COUNT(*) AS n_kept
+  FROM lims WHERE rn > strt AND rn <= strt + ln
+  GROUP BY event_type
 )
-SELECT event_type,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
-           AS trimmed_avg,
-       COUNT(*) AS n_kept
-FROM lims WHERE rn > strt AND rn <= strt + ln
-GROUP BY event_type
+SELECT event_type, median_value, n, trimmed_avg, n_kept
+FROM med JOIN trm USING (event_type)
 """
 
 ORACLE_SQL["dedup_exact"] = """
@@ -227,30 +223,39 @@ ORDER BY n DESC, tok ASC
 LIMIT 20
 """
 
-ORACLE_SQL["text_quality"] = """
-SELECT doc_id, lang,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-           AS n_distinct_tokens,
-       ROUND(CAST(len(list_filter(string_split(text, ' '),
-                                  w -> w IN ('the', 'a'))) AS DOUBLE)
-             / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
-                                          w -> length(w))) AS DOUBLE)
-             / len(string_split(text, ' ')), 6) AS mean_token_len
-FROM documents
-"""
+# text_quality (merged with lang_id's scores/prediction) is assigned
+# below, after the _lang_score/_lang_pred helpers are defined.
 
+# ws + regex tokenizers merged (r5 gate consolidation).
 ORACLE_SQL["token_counts"] = """
-SELECT lang, COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS distinct_tokens
-FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
-GROUP BY lang
+WITH ws AS (
+  SELECT lang, COUNT(*) AS total_tokens,
+         COUNT(DISTINCT tok) AS distinct_tokens
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY lang
+), rx AS (
+  SELECT lang, COUNT(*) AS regex_tokens,
+         COUNT(DISTINCT tok) AS regex_distinct_tokens
+  FROM (SELECT lang,
+               unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
+        FROM documents)
+  GROUP BY lang
+)
+SELECT lang, total_tokens, distinct_tokens,
+       regex_tokens, regex_distinct_tokens
+FROM ws JOIN rx USING (lang)
 """
 
+# bag + rolling fingerprints merged (r5 gate consolidation).
 ORACLE_SQL["doc_fingerprint"] = """
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
-                           ' ')) AS bag_fingerprint
+                           ' ')) AS bag_fingerprint,
+       (list_sum(list_transform(range(len(string_split(text, ' '))),
+           i -> ('0x' || substr(md5(string_split(text, ' ')[i+1]), 1, 8))
+                    ::BIGINT
+                * (1 + (i * 31) % 97))) % 1000000007)::BIGINT AS rolling_fp
 FROM documents
 """
 
@@ -271,6 +276,7 @@ LIMIT 10
            aa=_DOTSQL.format(a="embedding", b="embedding"),
            bb=_DOTSQL.format(a="qe", b="qe"))
 
+# A2 stats + A5 padvals merged per channel (r5 gate consolidation).
 ORACLE_SQL["channel_stats"] = """
 WITH g AS (
   SELECT user_id AS chan,
@@ -279,32 +285,30 @@ WITH g AS (
                   * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
          COUNT(*) AS n
   FROM events GROUP BY 1
+), ranked AS (
+  SELECT user_id, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nn
+  FROM events
+), lims AS (
+  SELECT *, FLOOR(nn * 0.8 + 0.5) AS ln,
+         FLOOR((nn - FLOOR(nn * 0.8 + 0.5)) / 2) AS strt
+  FROM ranked
+), pads AS (
+  SELECT user_id AS chan,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS padval,
+         COUNT(*) AS n_kept
+  FROM lims WHERE rn > strt AND rn <= strt + ln
+  GROUP BY user_id
 )
 SELECT chan, n,
        ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean_value,
        ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
-             / (CAST(n AS DOUBLE) - 1.0), 6) AS var_samp_value
-FROM g
-"""
-
-ORACLE_SQL["padvals_trimmed"] = """
-WITH ranked AS (
-  SELECT user_id, value, event_id,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY value, event_id) AS rn,
-         COUNT(*) OVER (PARTITION BY user_id) AS n
-  FROM events
-), lims AS (
-  SELECT *, FLOOR(n * 0.8 + 0.5) AS ln,
-         FLOOR((n - FLOOR(n * 0.8 + 0.5)) / 2) AS strt
-  FROM ranked
-)
-SELECT user_id AS chan,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
-           AS padval,
-       COUNT(*) AS n_kept
-FROM lims WHERE rn > strt AND rn <= strt + ln
-GROUP BY user_id
+             / (CAST(n AS DOUBLE) - 1.0), 6) AS var_samp_value,
+       padval, n_kept
+FROM g JOIN pads USING (chan)
 """
 
 _TELESCOPE_VALUES = ", ".join(
@@ -400,32 +404,26 @@ def _lang_pred() -> str:
     return "CASE " + " ".join(cases) + " END"
 
 
-ORACLE_SQL["lang_id"] = """
+# Quality signals + language ID merged (r5 gate consolidation of the
+# former lang_id entry).
+ORACLE_SQL["text_quality"] = """
 WITH s AS (
-  SELECT doc_id, lang AS actual_lang,
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct_tokens,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ('the', 'a'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
+                                            w -> length(w))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS mean_token_len,
          """ + ",\n         ".join(
     f"{_lang_score(lg)} AS score_{lg}" for lg in _LANG_ORDER
 ) + """
   FROM documents
 )
 SELECT *, """ + _lang_pred() + """ AS predicted_lang FROM s
-"""
-
-ORACLE_SQL["token_counts_regex"] = """
-SELECT lang, COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS distinct_tokens
-FROM (SELECT lang,
-             unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok
-      FROM documents)
-GROUP BY lang
-"""
-
-ORACLE_SQL["rolling_fingerprint"] = """
-SELECT doc_id,
-       (list_sum(list_transform(range(len(string_split(text, ' '))),
-           i -> ('0x' || substr(md5(string_split(text, ' ')[i+1]), 1, 8))
-                    ::BIGINT
-                * (1 + (i * 31) % 97))) % 1000000007)::BIGINT AS rolling_fp
-FROM documents
 """
 
 _LSH_BIT = ("CASE WHEN list_sum(list_transform(range(64), "
@@ -598,37 +596,29 @@ _CELL4 = "CAST(" + " + ".join(
     _LSH_BIT.format(off=i * 64, w=2 ** i) for i in range(4)
 ) + " AS BIGINT)"
 
+# single-probe + multiprobe merged under one tagged relation (r5 gate
+# consolidation of the former ann_ivf_multiprobe entry).
 ORACLE_SQL["ann_ivf_topk"] = """
 WITH cells AS (
   SELECT vec_id, embedding, {cell} AS cell FROM embeddings
 ), q AS (
   SELECT embedding AS qe, cell AS qcell FROM cells WHERE vec_id = 0
 )
-SELECT vec_id, cell,
-       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
-FROM cells, q
-WHERE vec_id <> 0 AND cell = qcell
-ORDER BY cos_sim DESC, vec_id
-LIMIT 5
-""".format(cell=_CELL4,
-           ab=_DOTSQL.format(a="embedding", b="qe"),
-           aa=_DOTSQL.format(a="embedding", b="embedding"),
-           bb=_DOTSQL.format(a="qe", b="qe"))
-
-ORACLE_SQL["ann_ivf_multiprobe"] = """
-WITH cells AS (
-  SELECT vec_id, embedding, {cell} AS cell FROM embeddings
-), q AS (
-  SELECT embedding AS qe, cell AS qcell FROM cells WHERE vec_id = 0
-)
-SELECT vec_id, cell,
-       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
-FROM cells, q
-WHERE vec_id <> 0
-  AND (cell = qcell OR cell = xor(qcell, 1) OR cell = xor(qcell, 2)
-       OR cell = xor(qcell, 4) OR cell = xor(qcell, 8))
-ORDER BY cos_sim DESC, vec_id
-LIMIT 5
+(SELECT 'single' AS probe_mode, vec_id, cell,
+        ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
+ FROM cells, q
+ WHERE vec_id <> 0 AND cell = qcell
+ ORDER BY cos_sim DESC, vec_id
+ LIMIT 5)
+UNION ALL
+(SELECT 'multi', vec_id, cell,
+        ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6)
+ FROM cells, q
+ WHERE vec_id <> 0
+   AND (cell = qcell OR cell = xor(qcell, 1) OR cell = xor(qcell, 2)
+        OR cell = xor(qcell, 4) OR cell = xor(qcell, 8))
+ ORDER BY 4 DESC, vec_id
+ LIMIT 5)
 """.format(cell=_CELL4,
            ab=_DOTSQL.format(a="embedding", b="qe"),
            aa=_DOTSQL.format(a="embedding", b="embedding"),
@@ -849,6 +839,49 @@ ORDER BY cos_q DESC, vec_id
 LIMIT 10
 """
 
+# Two-stage retrieval: the int8 shortlist ranks by the UNROUNDED
+# quantized cosine (exact BIGINT sums -> bit-portable), ties by
+# vec_id; the rescore reuses the exact f32->double sequential fold.
+ORACLE_SQL["ann_quantized_rescore"] = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, embedding, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM base
+), qc AS (
+  SELECT vec_id, embedding,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+  FROM s
+), qb AS (
+  SELECT q AS qb FROM qc WHERE vec_id = 0
+), shortlist AS (
+  SELECT vec_id, embedding
+  FROM qc, qb
+  WHERE vec_id <> 0
+  ORDER BY CAST(list_sum(list_transform(range(len(q)),
+                                        j -> q[j+1] * qb[j+1])) AS DOUBLE)
+           / (SQRT(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE))
+              * SQRT(CAST(list_sum(list_transform(qb, x -> x * x))
+                          AS DOUBLE))) DESC,
+           vec_id
+  LIMIT 50
+), qe AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       ROUND({ab} / (SQRT({aa}) * SQRT({bb})), 6) AS cos_sim
+FROM shortlist, qe
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""".format(ab=_DOTSQL.format(a="embedding", b="qv"),
+           aa=_DOTSQL.format(a="embedding", b="embedding"),
+           bb=_DOTSQL.format(a="qv", b="qv"))
+
 ORACLE_SQL["events_sessionize"] = """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v,
@@ -874,8 +907,39 @@ FROM s
 GROUP BY user_id, session_id
 """
 
-ORACLE_SQL["curate_decisions"] = """
-WITH feat AS (
+# Near-dup cluster labels (the r5 near_duplicate rule) reuse the
+# minhash -> jaccard -> reachability chain of dedup_components.
+ORACLE_SQL["curate_decisions"] = "WITH RECURSIVE " + _MINHASH_CTE + """,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id AND sa.s = sb.s
+  GROUP BY cand.doc_a, cand.doc_b
+),
+jpair AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes za ON doc_a = za.doc_id
+  JOIN sizes zb ON doc_b = zb.doc_id
+  WHERE n_common / (za.sz + zb.sz - n_common) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpair
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpair
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comps AS (
+  SELECT doc_id, MIN(comp) AS component_id FROM reach GROUP BY doc_id
+),
+feat AS (
   SELECT doc_id,
          len(w) AS n_words,
          1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
@@ -900,11 +964,15 @@ FROM (
   SELECT f.doc_id,
          CASE WHEN f.doc_id % 97 = 0 THEN 'eval_holdout'
               WHEN f.dup_rank > 1 THEN 'duplicate'
+              WHEN c.component_id IS NOT NULL
+                   AND c.component_id <> f.doc_id THEN 'near_duplicate'
               WHEN f.n_words < 5 THEN 'too_short'
               WHEN f.dup_word_frac > 0.6 THEN 'repetitive'
               WHEN COALESCE(CAST(h.n_hit AS DOUBLE) / h.n_g, 0.0) > 0.5
                    THEN 'contaminated'
               ELSE 'keep' END AS reason
-  FROM feat f LEFT JOIN hits h ON f.doc_id = h.doc_id
+  FROM feat f
+  LEFT JOIN hits h ON f.doc_id = h.doc_id
+  LEFT JOIN comps c ON f.doc_id = c.doc_id
 ) s
 """

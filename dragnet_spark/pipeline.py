@@ -224,7 +224,7 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
                                  "text": s["text"], "media_ref": s["media_ref"],
                                  "offset": s["offset"]})
                 rows.append({**_metrics_row(
-                    doc_id, {**metrics, "n_dms": int(out.shape[0])},
+                    doc_id, {**metrics, "n_dms": len(out)},
                     len(spans),
                     (time.perf_counter() - t0) * 1e3, run_id, cfg_l),
                     "payload": None})
@@ -451,7 +451,7 @@ def process_chunk_rows(chunks: DataFrame, cfg_json: str,
                 n_emitted = len(rows) - n_rows_before
                 mrow = _metrics_row(r.doc_id,
                                     {**metrics,
-                                     "n_dms": int(out.shape[0])},
+                                     "n_dms": len(out)},
                                     n_emitted,
                                     (time.perf_counter() - t0) * 1e3,
                                     run_id, cfg_l, int(r.chunk_id),

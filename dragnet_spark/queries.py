@@ -139,38 +139,34 @@ def q_union_distinct_channels(spark, sf_dir):
     return a.union(b).distinct()
 
 
-def q_median_lower(spark, sf_dir):
-    """A3 quickselect median = element at 0-based index (n-1)//2 of the
-    ascending order (mask.c:22-79) — NOT the two-element average."""
+def q_robust_stats(spark, sf_dir):
+    """A3 + A4 robust statistics in one relation (r5 gate
+    consolidation of the former ``median_lower`` and ``trimmed_stats``
+    entries — both derive from the SAME ranked ordering, which Spark's
+    exchange reuse shuffles once):
+
+    * lower-middle median = element at 0-based index (n-1)//2 of the
+      ascending order (mask.c:22-79) — NOT the two-element average;
+    * mid-fraction trimmed mean (mask.c:300-325): keep the middle
+      len = floor(n*0.8 + 0.5) elements from start = (n-len)/2."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = (e.select("event_type", "value", "event_id")
               .withColumn("rn", F.row_number().over(w))
               .withColumn("n", F.count(F.lit(1)).over(
                   Window.partitionBy("event_type"))))
-    return (ranked
-            .where(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
-            .select("event_type", F.col("value").alias("median_value"),
-                    "n"))
-
-
-def q_trimmed_stats(spark, sf_dir):
-    """A4 mid-fraction trimmed mean (mask.c:300-325): sort ascending,
-    keep the middle len = floor(n*0.8 + 0.5) elements from
-    start = (n-len)/2."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = (e.select("event_type", "value", "event_id")
-              .withColumn("rn", F.row_number().over(w))
-              .withColumn("n", F.count(F.lit(1)).over(
-                  Window.partitionBy("event_type"))))
+    med = (ranked
+           .where(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
+           .select("event_type", F.col("value").alias("median_value"),
+                   "n"))
     ln = F.floor(F.col("n") * 0.8 + 0.5)
     start = F.floor((F.col("n") - ln) / 2)
-    return (ranked.where((F.col("rn") > start) & (F.col("rn") <= start + ln))
-            .groupBy("event_type")
-            .agg(F.round(F.sum(_dec("value")).cast("double")
-                         / F.count(F.lit(1)), 6).alias("trimmed_avg"),
-                 F.count(F.lit(1)).alias("n_kept")))
+    trm = (ranked.where((F.col("rn") > start) & (F.col("rn") <= start + ln))
+           .groupBy("event_type")
+           .agg(F.round(F.sum(_dec("value")).cast("double")
+                        / F.count(F.lit(1)), 6).alias("trimmed_avg"),
+                F.count(F.lit(1)).alias("n_kept")))
+    return med.join(trm, "event_type")
 
 
 # --------------------------------------------------------------------------
@@ -267,42 +263,85 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    """Quality scoring: token counts, distinct ratio, stopword ratio,
-    mean token length — all JVM-side array functions, no UDF."""
+    """Quality scoring + language ID in one pass (r5 gate
+    consolidation — the former ``lang_id`` entry merged in): token
+    counts, distinct ratio, stopword ratio, mean token length, the
+    per-language marker scores and the predicted language — all
+    JVM-side array functions over ONE materialized token array, no
+    UDF, zero shuffles."""
     d = _t(spark, sf_dir, "documents")
-    arr = F.split(F.col("text"), " ")
+    # Materialize the token array once per row; referencing the raw
+    # split expression at each use would re-tokenize per reference.
+    w = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+    arr = F.col("w")
     n = F.size(arr)
-    stop = F.size(F.filter(arr, lambda w: w.isin("the", "a")))
+    stop = F.size(F.filter(arr, lambda t: t.isin("the", "a")))
     char_sum = F.aggregate(arr, F.lit(0),
-                           lambda acc, w: acc + F.length(w))
-    return d.select(
+                           lambda acc, t: acc + F.length(t))
+
+    def marker_count(lg: str):
+        # closure factory, not a default arg — a second lambda
+        # parameter would make F.filter pass the element *index*.
+        return F.size(F.filter(
+            arr, lambda t: t.isin(*LANG_MARKERS[lg]))).cast("bigint")
+
+    sel = w.select(
         "doc_id", "lang",
         n.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(arr)).cast("bigint")
          .alias("n_distinct_tokens"),
         F.round(stop.cast("double") / n, 6).alias("stopword_ratio"),
-        F.round(char_sum.cast("double") / n, 6).alias("mean_token_len"))
+        F.round(char_sum.cast("double") / n, 6).alias("mean_token_len"),
+        *[marker_count(lg).alias(f"score_{lg}") for lg in _LANG_ORDER])
+    return sel.withColumn("predicted_lang", _lang_pred_expr())
 
 
 def q_token_counts(spark, sf_dir):
-    """Token counting per language: docs, total tokens, corpus-distinct
-    tokens."""
+    """Token counting per language under BOTH tokenizers in one
+    relation: whitespace split and the BPE-ish regex ([a-z]+|[0-9]+
+    runs) — total and corpus-distinct counts each.  (r5 gate
+    consolidation: the former ``token_counts_regex`` entry merged in,
+    so both tokenizations stay driver-checked under one row.)
+
+    Scale shape: two per-lang partial aggregations joined on the tiny
+    lang key (5 rows) — the join is a broadcast of an aggregate, never
+    a shuffle of the token stream."""
     d = _t(spark, sf_dir, "documents")
-    arr = F.split(F.col("text"), " ")
-    return (d.select("lang", arr.alias("w"))
-            .select("lang", F.explode("w").alias("tok"))
-            .groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("total_tokens"),
-                 F.countDistinct("tok").alias("distinct_tokens")))
+    ws = (d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("total_tokens"),
+               F.countDistinct("tok").alias("distinct_tokens")))
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)
+    rx = (d.select("lang", F.explode(toks).alias("tok"))
+          .groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("regex_tokens"),
+               F.countDistinct("tok").alias("regex_distinct_tokens")))
+    return ws.join(rx, "lang")
+
+
+_FP_MOD = 1_000_000_007
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Bag-of-words fingerprint: md5 of the sorted distinct token set
-    (order-insensitive near-exact dedup key)."""
+    """Document fingerprints, both variants per row (r5 gate
+    consolidation — the former ``rolling_fingerprint`` entry merged
+    in): the order-INSENSITIVE bag key (md5 of the sorted distinct
+    token set) and the order-SENSITIVE position-weighted polynomial
+    hash sum(val(tok_i) * (1 + (i*31) % 97)) mod 1e9+7 with val = the
+    first 8 md5 hex digits as int (Karp-Rabin-style).  One narrow
+    scan-project, zero shuffles."""
     d = _t(spark, sf_dir, "documents")
-    arr = F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
-    return d.select("doc_id",
-                    F.md5(F.concat_ws(" ", arr)).alias("bag_fingerprint"))
+    # Materialize the token array once per row (re-referencing the
+    # split expression would re-tokenize per use).
+    w = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("w"))))
+    terms = F.transform(F.col("w"), lambda t, i:
+                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                         .cast("bigint") * (F.lit(1) + (i * 31) % 97))
+    rolling = F.aggregate(terms, F.lit(0).cast("bigint"),
+                          lambda acc, x: acc + x) % _FP_MOD
+    return w.select("doc_id", bag.alias("bag_fingerprint"),
+                    rolling.alias("rolling_fp"))
 
 
 # --------------------------------------------------------------------------
@@ -346,9 +385,18 @@ def q_embedding_sign_lsh(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_channel_stats(spark, sf_dir):
-    """A2 updating mean/sample-variance (mask.c:81-112) per channel;
-    variance computed from exact decimal sums so Spark and the oracle
-    share the float expression: var = (s2 - s1*s1/n)/(n-1)."""
+    """A2 updating mean/sample-variance (mask.c:81-112) per channel
+    PLUS the A5 per-channel padding value (mask.c:328-381, the mid-80%
+    trimmed mean) in one relation — r5 gate consolidation of the
+    former ``padvals_trimmed`` entry; determine_padvals calls
+    calc_avgmedstd per channel, so the merged row mirrors the
+    reference's own per-channel record.  Variance from exact decimal
+    sums so Spark and the oracle share the float expression:
+    var = (s2 - s1*s1/n)/(n-1).
+
+    Scale shape: both sides are per-channel aggregates (150 rows) —
+    their join is over pre-aggregated relations, never the event
+    stream."""
     e = _t(spark, sf_dir, "events")
     g = (e.groupBy(F.col("user_id").alias("chan"))
          .agg(F.sum(_dec("value")).cast("double").alias("s1"),
@@ -356,28 +404,22 @@ def q_channel_stats(spark, sf_dir):
               F.count(F.lit(1)).alias("n")))
     n = F.col("n").cast("double")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1.0)
-    return g.select("chan", "n",
-                    F.round(F.col("s1") / n, 6).alias("mean_value"),
-                    F.round(var, 6).alias("var_samp_value"))
-
-
-def q_padvals_trimmed(spark, sf_dir):
-    """A5 per-channel padding values (mask.c:328-381): mid-80% trimmed
-    mean of each channel's values — trimmed_stats partitioned per
-    channel (determine_padvals calls calc_avgmedstd per channel)."""
-    e = _t(spark, sf_dir, "events")
+    stats = g.select("chan", "n",
+                     F.round(F.col("s1") / n, 6).alias("mean_value"),
+                     F.round(var, 6).alias("var_samp_value"))
     w = Window.partitionBy("user_id").orderBy("value", "event_id")
     ranked = (e.select("user_id", "value", "event_id")
               .withColumn("rn", F.row_number().over(w))
-              .withColumn("n", F.count(F.lit(1)).over(
+              .withColumn("nn", F.count(F.lit(1)).over(
                   Window.partitionBy("user_id"))))
-    ln = F.floor(F.col("n") * 0.8 + 0.5)
-    start = F.floor((F.col("n") - ln) / 2)
-    return (ranked.where((F.col("rn") > start) & (F.col("rn") <= start + ln))
+    ln = F.floor(F.col("nn") * 0.8 + 0.5)
+    start = F.floor((F.col("nn") - ln) / 2)
+    pads = (ranked.where((F.col("rn") > start) & (F.col("rn") <= start + ln))
             .groupBy(F.col("user_id").alias("chan"))
             .agg(F.round(F.sum(_dec("value")).cast("double")
                          / F.count(F.lit(1)), 6).alias("padval"),
                  F.count(F.lit(1)).alias("n_kept")))
+    return stats.join(pads, "chan")
 
 
 TELESCOPES = [(0, "Fake"), (1, "Arecibo"), (2, "Ooty"), (3, "Nancay"),
@@ -478,9 +520,27 @@ LANG_MARKERS = {
 _LANG_ORDER = ("en", "de", "es", "fr", "zh")
 
 
+def _lang_pred_expr():
+    """predicted = first language (fixed order) whose marker score is
+    >= every other language's score, over the ``score_<lg>`` columns."""
+    pred = None
+    for lg in _LANG_ORDER:
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lg:
+                continue
+            c = F.col(f"score_{lg}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (F.when(cond, F.lit(lg)) if pred is None
+                else pred.when(cond, F.lit(lg)))
+    return pred
+
+
 def q_lang_id(spark, sf_dir):
     """Language ID by marker-token profile scoring: score(l) = count of
-    tokens in l's marker set; predicted = first max in fixed order."""
+    tokens in l's marker set; predicted = first max in fixed order.
+    (Gate-merged into q_text_quality since r5; kept as the standalone
+    form for the semantic tests.)"""
     d = _t(spark, sf_dir, "documents")
     arr = F.split(F.col("text"), " ")
 
@@ -493,45 +553,7 @@ def q_lang_id(spark, sf_dir):
     scores = {lg: marker_count(lg) for lg in _LANG_ORDER}
     sel = d.select("doc_id", F.col("lang").alias("actual_lang"),
                    *[scores[lg].alias(f"score_{lg}") for lg in _LANG_ORDER])
-    pred = None
-    for lg in _LANG_ORDER:
-        cond = None
-        for other in _LANG_ORDER:
-            if other == lg:
-                continue
-            c = F.col(f"score_{lg}") >= F.col(f"score_{other}")
-            cond = c if cond is None else (cond & c)
-        pred = (F.when(cond, F.lit(lg)) if pred is None
-                else pred.when(cond, F.lit(lg)))
-    return sel.withColumn("predicted_lang", pred)
-
-
-def q_token_counts_regex(spark, sf_dir):
-    """BPE-ish regex tokenization ([a-z]+|[0-9]+ runs) per language —
-    the regex-token variant of q_token_counts."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)
-    return (d.select("lang", F.explode(toks).alias("tok"))
-            .groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("total_tokens"),
-                 F.countDistinct("tok").alias("distinct_tokens")))
-
-
-_FP_MOD = 1_000_000_007
-
-
-def q_rolling_fingerprint(spark, sf_dir):
-    """Order-sensitive document fingerprint: position-weighted
-    polynomial hash sum(val(tok_i) * (1 + (i*31) % 97)) mod 1e9+7,
-    val = first 8 md5 hex digits as int (Karp-Rabin-style)."""
-    d = _t(spark, sf_dir, "documents")
-    arr = F.split(F.col("text"), " ")
-    terms = F.transform(arr, lambda w, i:
-                        F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
-                         .cast("bigint") * (F.lit(1) + (i * 31) % 97))
-    h = F.aggregate(terms, F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x) % _FP_MOD
-    return d.select("doc_id", h.alias("rolling_fp"))
+    return sel.withColumn("predicted_lang", _lang_pred_expr())
 
 
 # --------------------------------------------------------------------------
@@ -632,30 +654,23 @@ def _lsh_bucket(nbits: int):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: coarse cells = 4-bit sign LSH (16 cells); probe
-    only the query vector's cell; exact cosine top-5 inside it.  At
-    scale the cell assignment is the partition key, so each probe scans
-    1/16th of the corpus."""
-    e = _t(spark, sf_dir, "embeddings").withColumn("cell", _lsh_bucket(4))
-    q = F.broadcast(e.where(F.col("vec_id") == 0)
-                    .select(F.col("embedding").cast("array<double>")
-                            .alias("qe"), F.col("cell").alias("qcell")))
-    cos = _cosine(F.col("embedding").cast("array<double>"), F.col("qe"))
-    return (e.where(F.col("vec_id") != 0).crossJoin(q)
-            .where(F.col("cell") == F.col("qcell"))
-            .select("vec_id", F.col("cell").cast("bigint").alias("cell"),
-                    F.round(cos, 6).alias("cos_sim"))
-            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-            .limit(5))
+    """IVF-style ANN, single-probe AND multiprobe under one tagged
+    relation (r5 gate consolidation of the former
+    ``ann_ivf_multiprobe`` entry — both probe strategies stay
+    driver-checked):
 
+    * ``probe_mode = 'single'``: coarse cells = 4-bit sign LSH (16
+      cells); probe only the query vector's cell; exact cosine top-5
+      inside it.  At scale the cell assignment is the partition key,
+      so each probe scans 1/16th of the corpus.
+    * ``probe_mode = 'multi'``: the query's cell PLUS its 4 Hamming-1
+      neighbour cells (flip each sign bit) — the standard recall lever
+      of IVF search: 5/16ths scanned, recovering neighbours that fall
+      just across a hyperplane.  The probe set is a 5-element
+      broadcast literal array.
 
-def q_ann_ivf_multiprobe(spark, sf_dir):
-    """Multiprobe IVF: probe the query's coarse cell PLUS its 4
-    Hamming-1 neighbour cells (flip each sign bit of the 4-bit LSH
-    cell) — the standard recall lever of IVF search: 5/16ths of the
-    corpus scanned instead of 1/16th, recovering neighbours that fall
-    just across a hyperplane.  Cell stays the partition key at scale;
-    the probe set is a 5-element broadcast literal array."""
+    Each branch is its own TakeOrdered top-5; the union is of two
+    5-row results, never of corpus-scale relations."""
     e = _t(spark, sf_dir, "embeddings").withColumn("cell", _lsh_bucket(4))
     q = F.broadcast(e.where(F.col("vec_id") == 0)
                     .select(F.col("embedding").cast("array<double>")
@@ -664,12 +679,20 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
                      *[F.col("qcell").bitwiseXOR(F.lit(2 ** i))
                        for i in range(4)])
     cos = _cosine(F.col("embedding").cast("array<double>"), F.col("qe"))
-    return (e.where(F.col("vec_id") != 0).crossJoin(q)
-            .where(F.array_contains(probes, F.col("cell")))
-            .select("vec_id", F.col("cell").cast("bigint").alias("cell"),
-                    F.round(cos, 6).alias("cos_sim"))
-            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-            .limit(5))
+    base = e.where(F.col("vec_id") != 0).crossJoin(q)
+
+    def topk(filtered, mode: str):
+        return (filtered
+                .select(F.lit(mode).alias("probe_mode"), "vec_id",
+                        F.col("cell").cast("bigint").alias("cell"),
+                        F.round(cos, 6).alias("cos_sim"))
+                .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                .limit(5))
+
+    single = topk(base.where(F.col("cell") == F.col("qcell")), "single")
+    multi = topk(base.where(F.array_contains(probes, F.col("cell"))),
+                 "multi")
+    return single.unionByName(multi)
 
 
 def q_sample_stratified(spark, sf_dir):
@@ -1165,15 +1188,21 @@ def q_quality_repetition(spark, sf_dir):
     # filter-count, which blows up on real web documents with
     # thousands of words).  Comparator-free array_sort stays fast
     # JVM-side; the run-length scan is a single F.aggregate fold.
-    run = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+    # `best` folds in a run's length when the run ENDS (and the finish
+    # lambda closes the final run), so the run-update expression
+    # appears exactly once — re-referencing a Column inlines its whole
+    # tree at every use (the repo rule this fold previously broke).
     top = F.aggregate(
         F.array_sort("bi"),
         F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                  F.lit(0).alias("best")),
         lambda acc, x: F.struct(
-            x.alias("prev"), run(acc, x).alias("run"),
-            F.greatest(acc.best, run(acc, x)).alias("best")),
-        lambda acc: acc.best)
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.when(x == acc.prev, acc.best)
+             .otherwise(F.greatest(acc.best, acc.run)).alias("best")),
+        lambda acc: F.greatest(acc.best, acc.run))
     return w.select(
         "doc_id",
         nw.cast("bigint").alias("n_words"),
@@ -1270,11 +1299,15 @@ def q_tfidf_topterms(spark, sf_dir):
     across engines.
 
     Scale shape: tf = ONE (doc_id, term) partial agg off the exploded
-    scan; df = a vocab-sized agg over the tf relation, broadcast back
-    (a web-corpus vocab at 1e8 terms exceeds the broadcast threshold —
-    Spark then falls back to a shuffle join on term, still safe: both
-    sides are pre-aggregated); per-doc top-3 via row_number over the
-    doc_id exchange.  Ties broken by term for determinism."""
+    scan; df = a vocab-sized agg over the tf relation, joined back
+    WITHOUT a broadcast hint: under autoBroadcastJoinThreshold the
+    optimizer broadcasts the small df side (plan-pinned in pytest),
+    and a web-corpus vocab at 1e8 terms exceeding the threshold falls
+    back to a shuffle join on term — still safe, both sides are
+    pre-aggregated (an explicit hint would OVERRIDE the threshold and
+    force a driver-OOM broadcast at that scale; only the one-row
+    n_docs scalar keeps its hint).  Per-doc top-3 via row_number over
+    the doc_id exchange.  Ties broken by term for determinism."""
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1282,7 +1315,7 @@ def q_tfidf_topterms(spark, sf_dir):
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf").cast("double") * ((F.col("n_docs") + 1).cast("double")
                                           / (F.col("df") + 1).cast("double"))
-    scored = (tf.join(F.broadcast(df_), "term")
+    scored = (tf.join(df_, "term")
               .crossJoin(F.broadcast(n))
               .select("doc_id", "term", "tf", "df",
                       F.round(score, 6).alias("tfidf")))
@@ -1342,6 +1375,54 @@ def q_ann_quantized_topk(spark, sf_dir):
             .limit(10))
 
 
+def q_ann_quantized_rescore(spark, sf_dir):
+    """Two-stage production retrieval: int8-code shortlist (top-50 by
+    quantized cosine — the cheap 4x-less-bandwidth pass) RE-SCORED
+    with the exact f32 vectors to the final top-10 — the serving shape
+    the quantization docstring promises ('rescore the short list with
+    exact vectors').  On this corpus the rescored top-10 equals the
+    exact brute-force ``ann_cosine_topk`` top-10 (pinned by pytest),
+    i.e. the shortlist loses nothing while the full-precision pass
+    touches 50 vectors instead of the corpus.
+
+    Determinism: the shortlist ranks by the UNROUNDED quantized cosine
+    (exact BIGINT dot/ssq, two sqrts, one division — bit-portable),
+    ties by vec_id; the rescore reuses ann_cosine_topk's sequential
+    double fold.
+
+    Scale shape: stage 1 is the ann_quantized_topk plan (broadcast
+    query codes + TakeOrdered, no corpus shuffle); stage 2 joins the
+    50-row shortlist BROADCAST against the embeddings scan (a
+    broadcast-hash semi-probe — the corpus never shuffles) and
+    TakeOrders the final 10."""
+    e = _t(spark, sf_dir, "embeddings")
+    qc = _quant_codes(e)
+    qcodes = F.broadcast(qc.where(F.col("vec_id") == 0)
+                         .select(F.col("q").alias("qb")))
+
+    def idot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    a, b = F.col("q"), F.col("qb")
+    cos_q = idot(a, b).cast("double") \
+        / (F.sqrt(idot(a, a).cast("double"))
+           * F.sqrt(idot(b, b).cast("double")))
+    shortlist = (qc.where(F.col("vec_id") != 0).crossJoin(qcodes)
+                 .select("vec_id", cos_q.alias("cos_q"))
+                 .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+                 .limit(50)
+                 .select("vec_id"))
+    qe = F.broadcast(e.where(F.col("vec_id") == 0)
+                     .select(F.col("embedding").cast("array<double>")
+                             .alias("qe")))
+    cos = _cosine(F.col("embedding").cast("array<double>"), F.col("qe"))
+    return (e.join(F.broadcast(shortlist), "vec_id").crossJoin(qe)
+            .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(10))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization of the event stream (gap >= 4 h starts
     a new session) with per-session aggregates — the canonical
@@ -1394,17 +1475,28 @@ def q_curate_decisions(spark, sf_dir):
     training-data pipeline actually ships (dedup + holdout + length +
     repetition + benchmark-contamination in precedence order):
 
-    eval_holdout > duplicate > too_short > repetitive > contaminated
-    > keep.
+    eval_holdout > duplicate > near_duplicate > too_short >
+    repetitive > contaminated > keep.
+
+    ``near_duplicate`` (new in r5) drops non-representatives of
+    near-dup CLUSTERS, not just exact copies: edges = the LSH-candidate
+    pairs verified at exact 3-shingle Jaccard >= 0.5 (q_dedup_jaccard),
+    clusters = their connected components, representative = the
+    component-min doc_id — every other member is dropped.  Exact
+    duplicates land in the same cluster but are caught earlier by the
+    cheaper fingerprint rule.
 
     Scale shape: the exact-dup rank is one md5-fingerprint window
-    shuffle; contamination hits re-use the broadcast eval n-gram set
-    (never a shuffle of the corpus against the benchmark suite) and
-    come back to the document axis via one doc_id aggregation; the
-    rule cascade itself is a pure projection.  Every rule is also
-    available standalone (dedup_exact / quality_repetition /
-    contamination_ngrams) — this operator is the proof they compose
-    without extra passes over the text."""
+    shuffle; the near-dup labels come from the banded minhash self-join
+    plus O(diameter) min-label rounds over the (tiny) verified edge
+    set, never an all-pairs pass; contamination hits re-use the
+    broadcast eval n-gram set (never a shuffle of the corpus against
+    the benchmark suite) and come back to the document axis via one
+    doc_id aggregation; the rule cascade itself is a pure projection.
+    Every rule is also available standalone (dedup_exact /
+    dedup_components / quality_repetition / contamination_ngrams) —
+    this operator is the proof they compose without extra passes over
+    the text."""
     d = _t(spark, sf_dir, "documents")
     arr = F.split(F.col("text"), " ")
     base = d.select("doc_id", F.md5("text").alias("fp"), arr.alias("w"))
@@ -1430,11 +1522,19 @@ def q_curate_decisions(spark, sf_dir):
             .join(F.broadcast(ev), "g")
             .groupBy("doc_id", "n_g")
             .agg(F.count(F.lit(1)).alias("n_hit")))
-    j = base.join(hits.select(
-        "doc_id", (F.col("n_hit").cast("double") / F.col("n_g"))
-        .alias("hit_frac")), "doc_id", "left")
+    slug = sf_dir.strip("/").replace("/", "_")
+    comps = connected_components(
+        q_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
+        checkpoint_dir=f"{cc_checkpoint_base(spark)}/{slug}_curate.parquet")
+    j = (base.join(hits.select(
+            "doc_id", (F.col("n_hit").cast("double") / F.col("n_g"))
+            .alias("hit_frac")), "doc_id", "left")
+         .join(F.broadcast(comps), "doc_id", "left"))
     reason = (F.when(F.col("doc_id") % 97 == 0, F.lit("eval_holdout"))
               .when(F.col("dup_rank") > 1, F.lit("duplicate"))
+              .when(F.col("component_id").isNotNull()
+                    & (F.col("component_id") != F.col("doc_id")),
+                    F.lit("near_duplicate"))
               .when(F.col("n_words") < 5, F.lit("too_short"))
               .when(F.col("dup_word_frac") > 0.6, F.lit("repetitive"))
               .when(F.coalesce(F.col("hit_frac"), F.lit(0.0)) > 0.5,
@@ -1445,6 +1545,14 @@ def q_curate_decisions(spark, sf_dir):
                     .alias("keep"))
 
 
+# Driver-gate registry.  The driver's correctness gate caps at 50
+# queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
+# verdict #1), so this dict is kept at <= 41 entries and
+# __spark_entry__.queries() prepends the 9 flagship/metrics entries
+# FIRST; near-duplicate operator variants are merged into single
+# multi-column/tagged relations (token_counts, doc_fingerprint,
+# text_quality, channel_stats, robust_stats, ann_ivf_topk) so every
+# computation stays driver-checked under the cap.
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1453,8 +1561,7 @@ QUERIES = {
     "tumbling_decimate": q_tumbling_decimate,
     "interval_mask_join": q_interval_mask_join,
     "union_distinct_channels": q_union_distinct_channels,
-    "median_lower": q_median_lower,
-    "trimmed_stats": q_trimmed_stats,
+    "robust_stats": q_robust_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1464,12 +1571,8 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_sign_lsh": q_embedding_sign_lsh,
     "channel_stats": q_channel_stats,
-    "padvals_trimmed": q_padvals_trimmed,
     "telescope_lookup": q_telescope_lookup,
     "dedup_simhash": q_dedup_simhash,
-    "lang_id": q_lang_id,
-    "token_counts_regex": q_token_counts_regex,
-    "rolling_fingerprint": q_rolling_fingerprint,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -1478,7 +1581,6 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_components_star": q_dedup_components_star,
     "token_topk": q_token_topk,
-    "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "sample_stratified": q_sample_stratified,
     "media_frame_sample": _q_media_frame_sample,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1490,6 +1592,7 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "tfidf_topterms": q_tfidf_topterms,
     "ann_quantized_topk": q_ann_quantized_topk,
+    "ann_quantized_rescore": q_ann_quantized_rescore,
     "events_sessionize": q_events_sessionize,
     "curate_decisions": q_curate_decisions,
 }

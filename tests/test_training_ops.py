@@ -83,12 +83,22 @@ def test_lang_id_predicts_from_markers(spark):
 
 
 def test_ivf_probes_single_cell(spark):
+    """The merged IVF relation: the 'single' branch probes exactly the
+    query's cell; the 'multi' branch widens to the Hamming-1 probe set
+    and therefore dominates (its top-5 cosine floor >= single's)."""
     from dragnet_spark.queries import q_ann_ivf_topk
     rows = q_ann_ivf_topk(spark, SF).collect()
-    assert 0 < len(rows) <= 5
-    assert len({r.cell for r in rows}) == 1
-    sims = [r.cos_sim for r in rows]
-    assert sims == sorted(sims, reverse=True)
+    single = [r for r in rows if r.probe_mode == "single"]
+    multi = [r for r in rows if r.probe_mode == "multi"]
+    assert 0 < len(single) <= 5 and 0 < len(multi) <= 5
+    assert len({r.cell for r in single}) == 1
+    probed = {r.cell for r in multi}
+    qcell = next(iter({r.cell for r in single}))
+    assert all(bin(int(c) ^ int(qcell)).count("1") <= 1 for c in probed)
+    for part in (single, multi):
+        sims = [r.cos_sim for r in part]
+        assert sims == sorted(sims, reverse=True)
+    assert min(r.cos_sim for r in multi) >= min(r.cos_sim for r in single)
 
 
 # --------------------------------------------------------------------------
@@ -591,6 +601,70 @@ def test_ann_quantized_topk_recall_vs_exact(spark):
     assert len(exact & quant) >= 8
 
 
+def test_ann_quantized_rescore_equals_exact(spark):
+    """The two-stage retrieval (int8 top-50 shortlist -> exact f32
+    rescore) must return EXACTLY the brute-force top-10 — the
+    shortlist loses nothing at this corpus/similarity profile, which
+    is the contract that makes the 4x-cheaper first pass safe."""
+    from dragnet_spark.queries import (q_ann_cosine_topk,
+                                       q_ann_quantized_rescore)
+    exact = [(r.vec_id, r.cos_sim)
+             for r in q_ann_cosine_topk(spark, SF).collect()]
+    rescored = [(r.vec_id, r.cos_sim)
+                for r in q_ann_quantized_rescore(spark, SF).collect()]
+    assert rescored == exact
+
+
+def test_ann_quantized_rescore_no_corpus_shuffle(spark):
+    """Stage 2's shortlist join must broadcast (the 50-row shortlist
+    probes the embeddings scan) — the corpus itself never shuffles:
+    no SortMergeJoin, no CartesianProduct, and the final top-10 is a
+    TakeOrdered."""
+    from dragnet_spark.queries import q_ann_quantized_rescore
+    plan = q_ann_quantized_rescore(spark, SF)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("simple"))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_shuffle_join_fallback_matches_broadcast(spark, tmp_path):
+    """The 1e8-term-vocab story: with NO broadcast hint on the df
+    relation, the optimizer broadcasts under the default threshold but
+    falls back to a shuffle join of the two PRE-AGGREGATED sides when
+    the threshold is exceeded (autoBroadcastJoinThreshold=-1 simulates
+    it) — same results, no forced driver-OOM broadcast (r4 advice: an
+    explicit hint would override the threshold)."""
+    from dragnet_spark.queries import q_tfidf_topterms
+    sf = _write_docs(spark, tmp_path, [
+        (1, "cat cat dog"),
+        (2, "dog bird"),
+        (3, "bird bird bird fish"),
+    ])
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                 .fromString("simple"))
+
+    q = q_tfidf_topterms(spark, sf)
+    assert "BroadcastHashJoin" in plan_of(q)
+    want = sorted((r.doc_id, r.rank, r.term, r.tfidf)
+                  for r in q.collect())
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q2 = q_tfidf_topterms(spark, sf)
+        p2 = plan_of(q2)
+        assert "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2
+        got = sorted((r.doc_id, r.rank, r.term, r.tfidf)
+                     for r in q2.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == want
+
+
 def _write_events(spark, tmp_path, rows):
     """rows: (event_id, ts_str, user_id, value). Writes the driver
     events schema (ts as TIMESTAMP_NTZ, like the testdata parquet)."""
@@ -672,8 +746,12 @@ def test_streaming_sessions_match_batch(spark):
 
 def test_curate_decisions_all_reasons(spark, tmp_path):
     """One constructed doc per rule, checking the precedence cascade
-    (eval_holdout > duplicate > too_short > repetitive >
-    contaminated > keep)."""
+    (eval_holdout > duplicate > near_duplicate > too_short >
+    repetitive > contaminated > keep).  Docs 6/7 plant a NEAR-dup
+    cluster (7/9 shared 3-shingles, Jaccard 0.78, distinct exact
+    fingerprints): the component-min doc keeps, the other drops as
+    near_duplicate; the exact-dup pair 3/4 shares a cluster too but
+    doc 4 is caught by the cheaper fingerprint rule first."""
     from dragnet_spark.queries import q_curate_decisions
     keep_text = "m n o p r s t u"
     sf = _write_docs(spark, tmp_path, [
@@ -683,6 +761,8 @@ def test_curate_decisions_all_reasons(spark, tmp_path):
         (3, keep_text),              # -> keep
         (4, keep_text),              # same fp, higher doc_id -> duplicate
         (5, "c d w x y z q e"),      # 4/7 eval bigrams -> contaminated
+        (6, "h i j k l f g n o b"),  # near-dup cluster min -> keep
+        (7, "h i j k l f g n o v"),  # 7/9 shingles shared -> near_duplicate
     ])
     got = {r.doc_id: (r.reason, r.keep)
            for r in q_curate_decisions(spark, sf).collect()}
@@ -691,4 +771,6 @@ def test_curate_decisions_all_reasons(spark, tmp_path):
                    2: ("too_short", False),
                    3: ("keep", True),
                    4: ("duplicate", False),
-                   5: ("contaminated", False)}
+                   5: ("contaminated", False),
+                   6: ("keep", True),
+                   7: ("near_duplicate", False)}
