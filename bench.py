@@ -185,9 +185,19 @@ strip buffers stop mmap/munmap-ing per document.
 Per-query latency pin: `BENCH/PINNED.json` commits the full driver
 bench (every `queries()` entry + flagship + partitioned sink) from the
 round's representative run; `python bench.py` compares each query
-against it and reports `regressions_vs_pin` (>2x and >0.5 s over pin —
-informational, given the documented jitter).  Re-pin with
-`python bench.py --pin <bench-output.json>`.
+against it and reports `regressions_vs_pin` (informational, given the
+documented jitter).  Flagging is SLOW-DAY NORMALIZED (r4 verdict:
+every r4 row ran ~20% over pin on a slow VM window and the bench
+cried wolf on four phantom regressions): a fixed calibration query
+(lineitem scan-agg) is timed every run and pinned alongside the
+queries, and a row is flagged only when
+`now/pin > 2 x (cal_now/cal_pin)` AND `now - pin > 0.5 s` — i.e. the
+query must be slow relative to how the MACHINE is running that day,
+not just slower than a number measured on a faster day.  One-time
+fixture costs (flagship-oracle sample exports, corpus caches, first
+Arrow/codegen run of each flagship query) are paid in the warm-up
+phase before any timing, so per-query rows measure the query.
+Re-pin with `python bench.py --pin <bench-output.json>`.
 
 Reproduce: `python bench.py --scaling`.
 """
@@ -210,7 +220,10 @@ def _bench_partitioned_sink(spark, corpus: str = BENCH_CORPUS) -> float:
 
     cfg = scenario_configs(corpus)["s3"]
     docs = spark.read.parquet(corpus_cache(corpus))
-    out = "/tmp/dragnet_perdm_bench.parquet"
+    # App-id-unique path: concurrent sessions benching cannot race on
+    # one directory (same treatment as the CC checkpoint dirs).
+    out = (f"/tmp/dragnet_perdm_bench/"
+           f"{spark.sparkContext.applicationId}.parquet")
     _shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
     write_timeseries_partitioned(run_pipeline(docs, cfg, None), out)
@@ -218,6 +231,9 @@ def _bench_partitioned_sink(spark, corpus: str = BENCH_CORPUS) -> float:
          .agg(F.count(F.lit(1)), F.sum(F.length("text"))).collect())
     elapsed = time.perf_counter() - t0
     assert n[0][0] > 0
+    # Untimed cleanup: app-id-unique paths would otherwise accumulate
+    # ~0.5 GB per benching session in /tmp.
+    _shutil.rmtree(out, ignore_errors=True)
     return elapsed
 
 
@@ -251,6 +267,42 @@ def driver_bench() -> None:
                          "props string").count()
     except Exception as exc:  # noqa: BLE001
         errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:200]
+    # WARM-UP CONTRACT (r4 verdict #2 — the driver's r4 bench flagged
+    # four phantom regressions traced entirely to first-use costs):
+    # every one-time fixture build the query bodies trigger lazily is
+    # paid HERE, before any timing starts —
+    #   * the flagship oracle's /tmp sample-decomposition exports,
+    #   * the tiny/skew corpus parquet caches,
+    #   * one full UNTIMED run of each flagship-shaped query (pipeline
+    #     codegen + Arrow/JIT for the mapInPandas kernels; the first
+    #     run of the chunked skew query measured 15.1 s vs 2.8 s warm).
+    # The timed best-of-2 below then measures the query, as the
+    # protocol claims.
+    try:
+        from dragnet_spark.flagship_oracle import (FLAGSHIP_QUERIES,
+                                                   export_samples)
+        from dragnet_spark.generate import corpus_df
+        export_samples("tiny")
+        export_samples("skew")
+        corpus_df(spark, "tiny")
+        corpus_df(spark, "skew")
+        for name, fn in FLAGSHIP_QUERIES.items():
+            if name in qs:
+                fn(spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001
+        errors["_flagship_warmup"] = f"{type(exc).__name__}: {exc}"[:200]
+    # Calibration row (r4 verdict #7): a fixed cheap query timed every
+    # run; regression detection normalizes each query's pin ratio by
+    # the calibration ratio so a whole-VM slow day (every row ~20%
+    # over pin, 2026-08-17) stops flagging everything.
+    cal = None
+    try:
+        t0 = time.perf_counter()
+        warm.groupBy("l_returnflag", "l_linestatus") \
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice")).collect()
+        cal = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["_calibration"] = f"{type(exc).__name__}: {exc}"[:200]
     # Best-of-2 per query: single-shot numbers on this Firecracker VM
     # can land 2-6x over their true cost (the r2 round saw a 15-row
     # dimension lookup jump 1.1 -> 6.8 s on unchanged code); the second
@@ -290,15 +342,26 @@ def driver_bench() -> None:
     # Regression detection vs the committed per-query pin
     # (BENCH/PINNED.json, written by `--pin`): informational — this VM
     # jitters 2-5x run-to-run (BENCH/BASELINE.md caveat), so flagged
-    # rows mean "look here", not "bench invalid".
+    # rows mean "look here", not "bench invalid".  Ratios are
+    # NORMALIZED by the calibration query's own pin ratio (slow-day
+    # normalizer, r4 verdict #7): a whole-VM slowdown moves the
+    # calibration row too, so only queries slow RELATIVE to the
+    # machine's condition that day are flagged.
     regressions = {}
     pin_path = REPO / "BENCH" / "PINNED.json"
     if pin_path.exists():
-        pinned = json.loads(pin_path.read_text())["queries"]
+        pin_doc = json.loads(pin_path.read_text())
+        pinned = pin_doc["queries"]
+        cal_pin = pin_doc.get("calibration_sec")
+        cal_ratio = (cal / cal_pin
+                     if cal and cal_pin and cal_pin > 0 else 1.0)
         regressions = {
-            q: {"now": t, "pinned": pinned[q]}
+            q: {"now": t, "pinned": pinned[q],
+                "normalized_ratio": round(t / pinned[q] / cal_ratio, 2)}
             for q, t in timings.items()
-            if q in pinned and t > 2.0 * pinned[q] and t - pinned[q] > 0.5}
+            if q in pinned and pinned[q] > 0
+            and t / pinned[q] > 2.0 * cal_ratio
+            and t - pinned[q] > 0.5}
 
     print(json.dumps({
         "metric": "headline query latency + flagship dedispersion wall",
@@ -308,6 +371,7 @@ def driver_bench() -> None:
         "sf": sf,
         "flagship_docs_per_sec": round(ndocs / fl, 1),
         "cores": cores,
+        **({"calibration_sec": cal} if cal is not None else {}),
         **({"regressions_vs_pin": regressions} if regressions else {}),
         # Failed queries are excluded from `value`; flag so a partial
         # sum cannot read as a faster run.
@@ -334,6 +398,7 @@ def main() -> None:
             "sf": d.get("sf"), "cores": d.get("cores"),
             "wall": d["value"], "queries": d["queries"],
             "flagship_docs_per_sec": d.get("flagship_docs_per_sec"),
+            "calibration_sec": d.get("calibration_sec"),
         }, indent=1) + "\n")
         print(f"pinned {len(d['queries'])} queries, wall {d['value']} s")
     elif a.flagship_only:

@@ -72,6 +72,22 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # never an all-pairs cartesian.
     "ann_quantized_topk": ([r"TakeOrderedAndProject"],
                            [r"CartesianProduct"]),
+    # Two-stage rescore: the 50-row shortlist BROADCASTS against the
+    # embeddings scan (stage 2 never shuffles the corpus) and both
+    # stages end in TakeOrdered.
+    "ann_quantized_rescore": ([r"TakeOrderedAndProject",
+                               r"BroadcastHashJoin"],
+                              [r"SortMergeJoin", r"CartesianProduct"]),
+    # Merged per-doc relations stay single narrow scan-projects:
+    # zero shuffles, zero joins (the r5 consolidation must not have
+    # introduced a join where a second query used to run).
+    "text_quality": ([], [r"Exchange", r"Join"]),
+    "doc_fingerprint": ([], [r"Exchange", r"Join"]),
+    # Merged per-key aggregates join PRE-AGGREGATED sides on the tiny
+    # group key — never a cartesian, never a driver-side collect.
+    "token_counts": ([], [r"CartesianProduct", r"LocalTableScan"]),
+    "channel_stats": ([], [r"CartesianProduct", r"LocalTableScan"]),
+    "robust_stats": ([], [r"CartesianProduct", r"LocalTableScan"]),
     # Sessionize: both window specs and the session aggregation ride
     # ONE user_id exchange (the single-exchange invariant is pinned
     # exactly in tests/test_training_ops.py); partial agg present.
