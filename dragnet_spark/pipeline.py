@@ -591,11 +591,16 @@ def _run_job_chunked(spark: SparkSession, docs: DataFrame, cfg: RunConfig,
     runs.  Reassembly then reads ALL the doc's chunks (old + new) back
     from the table.  Durability granularity is the task commit: a
     chunk's rows are emitted together by one task, so any metrics row
-    visible in the table implies its chunk's series rows are too
+    visible in the CHUNK table implies its chunk's series rows are too
     (Spark's committer exposes only committed task files; with a
     task-commit committer — v2 / Iceberg — partial-job output
     survives a driver kill, which is what makes resume sub-job-level
-    at scale)."""
+    at scale).  The SPANS append from reassembly is NOT task-atomic
+    per document (a doc's metrics rows and its per-(doc, dm) series
+    rows come from different tasks), which is why :func:`run_job`'s
+    doc-level resume anti-join additionally validates series
+    completeness (all-chunks metrics + >= n_dms distinct timeseries
+    offsets) before trusting a metrics row as a doc-done marker."""
     _require_chunkable(cfg)
     cfg_json = cfg.to_json()
     mask_json = mask.to_json() if mask else None

@@ -618,12 +618,16 @@ def embedding_near_dup_pairs(e: DataFrame, threshold: float) -> DataFrame:
     """Banded sign-LSH candidates + exact pinned-order cosine >=
     ``threshold`` over a (vec_id, embedding) DataFrame — the reusable
     core of q_embedding_near_dup (same plan, parameterized input and
-    similarity threshold)."""
-    bands = None
-    for b in range(_ND_BANDS):
-        part = e.select("vec_id", F.lit(b).alias("band"),
-                        _band_bucket(b).alias("v"))
-        bands = part if bands is None else bands.unionByName(part)
+    similarity threshold).
+
+    All 4 band buckets are computed in ONE pass over the embeddings
+    (an array of buckets ``posexplode``d to (band, bucket) rows, the
+    same shape as the text-minhash LSH) instead of a 4-way union of
+    scans: at 10^12 vectors that is 1 scan + 1 hyperplane-dot pass
+    rather than 4, and both sides of the bucket self-join share the
+    SAME subplan, whose exchange Spark computes once."""
+    band_arr = F.array(*[_band_bucket(b) for b in range(_ND_BANDS)])
+    bands = e.select("vec_id", F.posexplode(band_arr).alias("band", "v"))
     a = bands.alias("a")
     c = bands.alias("c")
     cand = (a.join(c, (F.col("a.band") == F.col("c.band"))
