@@ -307,11 +307,21 @@ def driver_bench() -> None:
     # can land 2-6x over their true cost (the r2 round saw a 15-row
     # dimension lookup jump 1.1 -> 6.8 s on unchanged code); the second
     # run of an identical plan is the cheapest honest deflake — same
-    # treatment the flagship gets below.
+    # treatment the flagship gets below.  The flagship-shaped rows get
+    # best-of-3: the mapInPandas block loop and the streaming state
+    # store are the most kernel-jitter-prone paths in the repo (an
+    # in-bench dedisperse_stream measured 18.3 s in one session and
+    # 3.3-3.7 s standalone-warm the same hour, identical code), and
+    # one extra sample per heavy query is the cheapest way to keep the
+    # minimum — the only stable observable here — honest.
+    try:
+        flagship_names = set(FLAGSHIP_QUERIES)
+    except NameError:  # flagship import failed above
+        flagship_names = set()
     for name, fn in qs.items():
         try:
             best = None
-            for _ in range(2):
+            for _ in range(3 if name in flagship_names else 2):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
