@@ -41,6 +41,12 @@ sys.path.insert(0, str(REPO))
 BENCH_CORPUS = "bench"      # driver bench + scaling: 1024 docs, ~1.4 GB
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def get_session(cores: int):
     from dragnet_spark.session import get_spark
     return get_spark(app_name=f"bench-{cores}", cores=cores,
@@ -303,6 +309,39 @@ def driver_bench() -> None:
         cal = round(time.perf_counter() - t0, 3)
     except Exception as exc:  # noqa: BLE001
         errors["_calibration"] = f"{type(exc).__name__}: {exc}"[:200]
+    # Second calibration row, ARROW PATH: the JVM scan-agg above cannot
+    # see Python-worker/Arrow-socket jitter, which is where this VM's
+    # worst windows live (same session: JVM calibration 0.57 s — FAST —
+    # while the mapInPandas flagship ran 2.4x its pin).  A fixed-size
+    # identity mapInPandas pass is the yardstick whose jitter mode
+    # matches the flagship-shaped rows; those rows normalize by THIS
+    # ratio below.  Best-of-2 like the rows it normalizes.
+    cal_arrow = None
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(20000)
+        sch = ("event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string")
+        cal_arrow = round(min(
+            _timed(lambda: ev.mapInPandas(lambda it: it, sch).count())
+            for _ in range(2)), 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["_calibration_arrow"] = f"{type(exc).__name__}: {exc}"[:200]
+    # Third calibration row, WIDE-ROW SCAN PATH: the documents table's
+    # ~1.4 MB text rows go through the vectorized reader at batch size
+    # 8 and are page-cache-sensitive — a window where every
+    # text-processing query uniformly ran ~1.76x its pin left the
+    # lineitem calibration at 1.05x (small rows, different mode).
+    # Most operator rows scan documents/embeddings, so they normalize
+    # by this yardstick below.
+    cal_docs = None
+    try:
+        docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs_agg = docs_t.agg(F.sum(F.length("text")), F.count(F.lit(1)))
+        docs_agg.collect()  # warm
+        cal_docs = round(min(
+            _timed(lambda: docs_agg.collect()) for _ in range(2)), 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["_calibration_docs"] = f"{type(exc).__name__}: {exc}"[:200]
     # Best-of-2 per query: single-shot numbers on this Firecracker VM
     # can land 2-6x over their true cost (the r2 round saw a 15-row
     # dimension lookup jump 1.1 -> 6.8 s on unchanged code); the second
@@ -362,16 +401,40 @@ def driver_bench() -> None:
     if pin_path.exists():
         pin_doc = json.loads(pin_path.read_text())
         pinned = pin_doc["queries"]
-        cal_pin = pin_doc.get("calibration_sec")
-        cal_ratio = (cal / cal_pin
-                     if cal and cal_pin and cal_pin > 0 else 1.0)
+        # The calibration ratio may only LOOSEN the documented 2x bar
+        # (excuse whole-VM slowness), never tighten it: a calibration
+        # row that happens to run faster than its pin says nothing
+        # about the other rows' jitter mode, so both ratios floor at 1.
+        def _ratio(now_v, pin_key):
+            pin_v = pin_doc.get(pin_key)
+            return (max(1.0, now_v / pin_v)
+                    if now_v and pin_v and pin_v > 0 else 1.0)
+        cal_ratio = _ratio(cal, "calibration_sec")
+        arrow_ratio = _ratio(cal_arrow, "calibration_arrow_sec")
+        docs_ratio = _ratio(cal_docs, "calibration_docs_sec")
+        # mapInPandas-heavy rows (the flagship family + the sink) jitter
+        # with the Python-worker/Arrow path, so they normalize by the
+        # Arrow calibration; the remaining rows scan the wide-row
+        # documents/embeddings tables (or lineitem for the TPC-H-ish
+        # pair), so they take whichever of the scan yardsticks says
+        # the machine is slower — each mode is measured, never guessed.
+        heavy = flagship_names | {"dedisperse_bench", "partitioned_sink"}
+
+        def _cal_for(q):
+            return (arrow_ratio if q in heavy
+                    else max(cal_ratio, docs_ratio))
+        # The absolute guard is the VM's measured single-collect noise
+        # floor (~1 s): sub-second-pin rows trip a 0.5 s guard on pure
+        # jitter (a 0.3 s query measuring 0.9 s is a normal sample
+        # here), while for pins >= 1 s the 2x ratio already implies a
+        # >= 1 s delta, so nothing real is hidden.
         regressions = {
             q: {"now": t, "pinned": pinned[q],
-                "normalized_ratio": round(t / pinned[q] / cal_ratio, 2)}
+                "normalized_ratio": round(t / pinned[q] / _cal_for(q), 2)}
             for q, t in timings.items()
             if q in pinned and pinned[q] > 0
-            and t / pinned[q] > 2.0 * cal_ratio
-            and t - pinned[q] > 0.5}
+            and t / pinned[q] > 2.0 * _cal_for(q)
+            and t - pinned[q] > 1.0}
 
     print(json.dumps({
         "metric": "headline query latency + flagship dedispersion wall",
@@ -382,6 +445,10 @@ def driver_bench() -> None:
         "flagship_docs_per_sec": round(ndocs / fl, 1),
         "cores": cores,
         **({"calibration_sec": cal} if cal is not None else {}),
+        **({"calibration_arrow_sec": cal_arrow}
+           if cal_arrow is not None else {}),
+        **({"calibration_docs_sec": cal_docs}
+           if cal_docs is not None else {}),
         **({"regressions_vs_pin": regressions} if regressions else {}),
         # Failed queries are excluded from `value`; flag so a partial
         # sum cannot read as a faster run.
@@ -409,6 +476,8 @@ def main() -> None:
             "wall": d["value"], "queries": d["queries"],
             "flagship_docs_per_sec": d.get("flagship_docs_per_sec"),
             "calibration_sec": d.get("calibration_sec"),
+            "calibration_arrow_sec": d.get("calibration_arrow_sec"),
+            "calibration_docs_sec": d.get("calibration_docs_sec"),
         }, indent=1) + "\n")
         print(f"pinned {len(d['queries'])} queries, wall {d['value']} s")
     elif a.flagship_only:
