@@ -774,3 +774,52 @@ def test_curate_decisions_all_reasons(spark, tmp_path):
                    5: ("contaminated", False),
                    6: ("keep", True),
                    7: ("near_duplicate", False)}
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session enables AQE skew-join (`session.py`), the runtime
+    lever for JOIN-KEY skew at web scale — complementing the explicit
+    chunk salting the pipeline applies to giant documents.  Pin that a
+    planted hot key (90% of rows on key 0) actually triggers the
+    runtime rewrite — `SortMergeJoin(skew=true)` reading from an
+    `AQEShuffleRead skewed` — and that the split join's result equals
+    the broadcast plan exactly (AQE splits may not duplicate or drop
+    rows)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    left = (spark.range(40000)
+            .select(F.when(F.col("id") % 10 < 9, F.lit(0))
+                     .otherwise(F.col("id") % 100).alias("key"),
+                    F.concat(F.lit("payload-"), F.col("id")).alias("pay")))
+    right = spark.range(100).select(F.col("id").alias("key"),
+                                    (F.col("id") * 7).alias("dim"))
+
+    def agg(joined):
+        return joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("pay") + F.col("dim")).alias("s"))
+
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        res = agg(left.join(right, "key"))
+        got = res.collect()[0]
+        # Read the plan AFTER execution: only then has AQE replaced the
+        # static SortMergeJoin with the skew-split form (isFinalPlan).
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
+    want = agg(left.join(F.broadcast(right), "key")).collect()[0]
+    assert (got.n, got.s) == (want.n, want.s)
