@@ -146,6 +146,62 @@ def test_write_timeseries_partitioned_prunes(spark, tmp_path):
     assert scanned and all("dm=25.000" in f for f in scanned)
 
 
+def test_partitioned_sink_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB access pattern the per-DM layout exists for: a JOIN
+    against a small DM-metadata dim whose filter is only known at
+    runtime must prune the fact scan to the matching partitions via
+    DYNAMIC partition pruning (broadcast the filtered dim's keys into
+    the fact scan's PartitionFilters) — not scan all 11 DM directories
+    and filter after the fact."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.generate import make_corpus, scenario_configs
+    from dragnet_spark.io import write_timeseries_partitioned
+    from dragnet_spark.pipeline import docs_to_df, run_pipeline
+
+    docs = make_corpus("tiny")
+    cfg = scenario_configs("tiny")["s0"]
+    rows = run_pipeline(docs_to_df(spark, docs), cfg, None)
+    out = str(tmp_path / "perdm_dpp")
+    write_timeseries_partitioned(rows, out)
+
+    # DM-trial metadata dim: which trials belong to the "high" band is
+    # a dim-side fact the fact scan cannot know statically.  Keep the
+    # partition column a STRING: type inference would read dm=25.000
+    # back as double, and double join keys get wrapped in
+    # knownfloatingpointnormalized(...), which defeats DPP's
+    # partition-column matching.
+    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    saved = spark.conf.get(inf_key)
+    try:
+        spark.conf.set(inf_key, "false")
+        fact = spark.read.parquet(out)
+        dim = spark.createDataFrame(
+            [(f"{dm:.3f}", "high" if dm >= 25 else "low")
+             for dm in range(0, 51, 5)], "dm string, band string")
+        # File evidence via the _metadata.file_path column, NOT
+        # input_file_name(): the latter is non-deterministic, and a
+        # non-deterministic projection between scan and join blocks
+        # the DPP rewrite entirely (verified: PartitionFilters came
+        # back empty with it).  The broadcast hint keeps the (tiny)
+        # fact on the probe side, as it would be at real scale.
+        joined = (fact.select("dm", "doc_id",
+                              F.col("_metadata.file_path").alias("f"))
+                  .join(F.broadcast(dim.where(F.col("band") == "high")),
+                        "dm")
+                  .select("dm", "doc_id", "f"))
+        got = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(inf_key, saved)
+    assert "dynamicpruningexpression" in plan, plan
+    high = {f"{dm:.3f}" for dm in range(25, 51, 5)}
+    assert {r.dm for r in got} == high
+    assert len(got) == len(high) * len(docs)        # one row per doc/DM
+    # runtime evidence: only the 6 high-band directories were read
+    assert all(any(f"dm={h}" in r.f for h in high) for r in got)
+
+
 def test_io_iceberg_missing_is_explicit(spark):
     from dragnet_spark.io import iceberg_available, read_documents
     if iceberg_available(spark):
