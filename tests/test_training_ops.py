@@ -879,3 +879,28 @@ def test_aqe_splits_skewed_join_partition(spark):
     assert "AQEShuffleRead skewed" in plan, plan
     want = agg(left.join(F.broadcast(right), "key")).collect()[0]
     assert (got.n, got.s) == (want.n, want.s)
+
+
+def test_near_dup_band_exchange_is_reused(spark):
+    """The single-scan LSH banding claim, pinned: at shuffle-join scale
+    (broadcast disabled, the 10^12-vector shape) both sides of the
+    band-bucket self-join are the SAME posexplode subplan, so Spark
+    must compute its exchange once and wire the second side as a
+    ReusedExchange — one scan + one hyperplane-dot pass over the
+    embeddings, not two."""
+    from dragnet_spark.queries import q_embedding_near_dup
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        df = q_embedding_near_dup(spark, SF)
+        df.collect()
+        # plan must be read AFTER execution (AQE finalizes reuse then)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, saved)
+    assert "ReusedExchange" in plan, plan
+    # the reused side carries the banding columns
+    reused = [l for l in plan.splitlines() if "ReusedExchange" in l]
+    assert any("band" in l for l in reused), reused
