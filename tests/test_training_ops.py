@@ -904,3 +904,24 @@ def test_near_dup_band_exchange_is_reused(spark):
     # the reused side carries the banding columns
     reused = [l for l in plan.splitlines() if "ReusedExchange" in l]
     assert any("band" in l for l in reused), reused
+
+
+def test_minhash_band_exchange_is_reused(spark):
+    """Same pin for the text-minhash LSH (the README's 'minhash
+    exchange reused across the bucket self-join' claim): at
+    shuffle-join scale the second side of the (band, bucket) self-join
+    must be a ReusedExchange of the first — one shingle+minhash pass
+    over the corpus, not two."""
+    from dragnet_spark.queries import q_dedup_minhash_lsh
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        df = q_dedup_minhash_lsh(spark, SF)
+        got = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, saved)
+    assert len(got) > 0          # sf0.001 has real candidate pairs
+    assert "ReusedExchange" in plan, plan
