@@ -181,3 +181,63 @@ def test_streaming_clipper_multichunk_out_of_order(spark, tmp_path):
     assert len(got) == len(truth)
     for want in truth:
         assert got[want[1]] == want, (got[want[1]], want)
+
+
+def test_streaming_dedup_state_is_evicted_by_watermark(spark, tmp_path):
+    """The bounded-state claim behind dropDuplicatesWithinWatermark
+    (r3 ADVICE fix), pinned with the state-store's own metrics: two
+    micro-batches 48 h apart under a 1 h watermark must EVICT the
+    first batch's dedup keys (numRowsRemoved > 0, final state strictly
+    below the distinct-key count) while the deduped result still
+    counts every unique key across both batches."""
+    import os
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.streaming import streaming_dedup
+
+    base = str(tmp_path / "evict_src")
+    os.makedirs(base)
+    t0 = datetime(2026, 1, 1)
+
+    def mk(fname, ids, start):
+        n = len(ids)
+        pq.write_table(pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([start + timedelta(seconds=i)
+                            for i in range(n)], pa.timestamp("us")),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }), f"{base}/{fname}")
+
+    mk("000.parquet", list(range(100)), t0)
+    mk("001.parquet", list(range(100, 150)), t0 + timedelta(hours=48))
+    now = _time.time()          # mtime order fixes the batch order
+    os.utime(f"{base}/000.parquet", (now - 10, now - 10))
+    os.utime(f"{base}/001.parquet", (now + 5, now + 5))
+
+    raw = (spark.readStream
+           .schema("event_id long, ts timestamp_ntz, user_id long, "
+                   "event_type string, value double, props string")
+           .option("maxFilesPerTrigger", 1).parquet(base))
+    ev = (raw.withColumn("ts", F.col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour"))
+    q = (streaming_dedup(ev)
+         .writeStream.format("memory").queryName("t_dedup_evict")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.table("t_dedup_evict").collect()
+    assert [(r.event_type, r.n_unique) for r in got] == [("a", 150)]
+    dedup_states = [so for p in q.recentProgress
+                    for so in p["stateOperators"]
+                    if so["operatorName"] == "dedupeWithinWatermark"]
+    assert dedup_states, "no dedup state operator reported"
+    assert sum(so["numRowsRemoved"] for so in dedup_states) >= 100
+    assert dedup_states[-1]["numRowsTotal"] < 150   # state is bounded
