@@ -925,3 +925,22 @@ def test_minhash_band_exchange_is_reused(spark):
         spark.conf.set(key, saved)
     assert len(got) > 0          # sf0.001 has real candidate pairs
     assert "ReusedExchange" in plan, plan
+
+
+def test_no_per_row_python_udfs_in_package():
+    """Source-level guard for the engine rule the plans rely on: no
+    row-at-a-time Python UDFs anywhere in dragnet_spark — Python code
+    runs only through Arrow-batched forms (mapInPandas,
+    applyInPandas[WithState], @pandas_udf).  A plain F.udf would
+    silently de-vectorize whatever expression it touched."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).parent.parent / "dragnet_spark"
+    offenders = []
+    for py in sorted(pkg.glob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"\bF\.udf\s*\(|\budf\s*\(\s*lambda|@udf\b",
+                         line):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
