@@ -241,3 +241,64 @@ def test_streaming_dedup_state_is_evicted_by_watermark(spark, tmp_path):
     assert dedup_states, "no dedup state operator reported"
     assert sum(so["numRowsRemoved"] for so in dedup_states) >= 100
     assert dedup_states[-1]["numRowsTotal"] < 150   # state is bounded
+
+
+def test_streaming_sessions_state_is_evicted_by_watermark(spark, tmp_path):
+    """streaming_sessions' docstring claims per-(user, open session)
+    state is evicted once the watermark passes the session close; pin
+    it: two 30-event batches 48 h apart (3 users, 4 h gap, 1 h
+    watermark) must emit exactly the first batch's 3 closed sessions
+    in append mode AND remove those 3 entries from the session state
+    store, leaving only the second batch's open sessions."""
+    import os
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.streaming import streaming_sessions
+
+    base = str(tmp_path / "sess_src")
+    os.makedirs(base)
+    t0 = datetime(2026, 1, 1)
+
+    def mk(fname, ids, start):
+        n = len(ids)
+        pq.write_table(pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([start + timedelta(minutes=i)
+                            for i in range(n)], pa.timestamp("us")),
+            "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array([float(i) for i in range(n)]),
+            "props": pa.array(["{}"] * n),
+        }), f"{base}/{fname}")
+
+    mk("000.parquet", list(range(30)), t0)
+    mk("001.parquet", list(range(30, 60)), t0 + timedelta(hours=48))
+    now = _time.time()
+    os.utime(f"{base}/000.parquet", (now - 10, now - 10))
+    os.utime(f"{base}/001.parquet", (now + 5, now + 5))
+
+    raw = (spark.readStream
+           .schema("event_id long, ts timestamp_ntz, user_id long, "
+                   "event_type string, value double, props string")
+           .option("maxFilesPerTrigger", 1).parquet(base))
+    ev = (raw.withColumn("ts", F.col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour"))
+    q = (streaming_sessions(ev)
+         .writeStream.format("memory").queryName("t_sess_evict")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    emitted = spark.table("t_sess_evict").collect()
+    assert sorted(r.user_id for r in emitted) == [0, 1, 2]
+    assert all(r.n_events == 10 for r in emitted)
+    states = [so for p in q.recentProgress
+              for so in p["stateOperators"]
+              if "sessionWindow" in so["operatorName"]]
+    assert states, "no session-window state operator reported"
+    assert sum(so["numRowsRemoved"] for so in states) == 3
+    assert states[-1]["numRowsTotal"] == 3     # only batch-2 sessions
