@@ -194,16 +194,32 @@ round's representative run; `python bench.py` compares each query
 against it and reports `regressions_vs_pin` (informational, given the
 documented jitter).  Flagging is SLOW-DAY NORMALIZED (r4 verdict:
 every r4 row ran ~20% over pin on a slow VM window and the bench
-cried wolf on four phantom regressions): a fixed calibration query
-(lineitem scan-agg) is timed every run and pinned alongside the
-queries, and a row is flagged only when
-`now/pin > 2 x (cal_now/cal_pin)` AND `now - pin > 0.5 s` — i.e. the
-query must be slow relative to how the MACHINE is running that day,
-not just slower than a number measured on a faster day.  One-time
-fixture costs (flagship-oracle sample exports, corpus caches, first
-Arrow/codegen run of each flagship query) are paid in the warm-up
-phase before any timing, so per-query rows measure the query.
-Re-pin with `python bench.py --pin <bench-output.json>`.
+cried wolf on four phantom regressions): THREE fixed calibration rows
+are timed every run and pinned alongside the queries, one per
+measured jitter mode of this VM — a lineitem scan-agg (JVM
+small-row path), a fixed-size identity `mapInPandas` pass
+(Python-worker/Arrow path: one session measured the JVM calibration
+FAST while the mapInPandas flagship ran 2.4x its pin), and a
+documents sum-length agg (wide-binary-row vectorized-reader path:
+another window ran every text-processing query uniformly ~1.76x its
+pin while the lineitem row sat at 1.05x).  A row is flagged only
+when `now/pin > 2 x max(1, cal_now/cal_pin)` AND
+`now - pin > 1 s` (the VM's single-collect noise floor — a 0.3 s
+query measuring 0.9 s is a normal sample here, and for pins >= 1 s
+the 2x ratio already implies a >= 1 s delta), where the calibration
+used is the Arrow row for the mapInPandas-heavy queries (flagship
+family + partitioned sink) and the slower of the two scan rows for
+everything else — i.e. the query must be slow relative to how the
+MACHINE's matching execution path is running that day, not just
+slower than a number measured on a faster day.  Each ratio floors
+at 1: calibration may only loosen the 2x bar, never tighten it.
+The Arrow and docs calibration pins were measured in-bench in
+windows where the paired flagship/text-query rows sat at their
+pins, so all three ratios are self-consistent with the query pins.
+One-time fixture costs (flagship-oracle sample exports, corpus
+caches, first Arrow/codegen run of each flagship query) are paid in
+the warm-up phase before any timing, so per-query rows measure the
+query.  Re-pin with `python bench.py --pin <bench-output.json>`.
 
 Reproduce: `python bench.py --scaling`.
 """
@@ -303,10 +319,13 @@ def driver_bench() -> None:
     # over pin, 2026-08-17) stops flagging everything.
     cal = None
     try:
-        t0 = time.perf_counter()
-        warm.groupBy("l_returnflag", "l_linestatus") \
-            .agg(F.sum("l_quantity"), F.avg("l_extendedprice")).collect()
-        cal = round(time.perf_counter() - t0, 3)
+        # Best-of-2 like the rows it normalizes: a single-shot sample
+        # on this VM can land 2-6x over true cost, and a spiked
+        # calibration LOOSENS the bar for every row it normalizes
+        # (false negatives, the inverse of the crying-wolf problem).
+        cal_q = warm.groupBy("l_returnflag", "l_linestatus") \
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"))
+        cal = round(min(_timed(cal_q.collect) for _ in range(2)), 3)
     except Exception as exc:  # noqa: BLE001
         errors["_calibration"] = f"{type(exc).__name__}: {exc}"[:200]
     # Second calibration row, ARROW PATH: the JVM scan-agg above cannot

@@ -44,6 +44,13 @@ from .params import Header, MaskSpec, RunConfig
 from .plan import DedispPlan, build_plan
 from .spans import build_output_spans, writeinf_text
 
+
+class LedgerValidationError(RuntimeError):
+    """Raised when the chunked resume ledger exists but cannot prove
+    series completeness (e.g. metrics rows predate the n_dms field);
+    distinguished from "spans path does not exist yet", which resume
+    treats as a fresh out_dir."""
+
 # The mandated input table shape (input_hint): doc_id + spans array.
 DOCS_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
@@ -692,13 +699,15 @@ def run_job(spark: SparkSession, docs: DataFrame | str, cfg: RunConfig,
                 # task-commit committer a driver kill can land metrics
                 # without series.  A doc counts done only when its
                 # metrics cover every chunk AND the spans table holds
-                # at least n_dms distinct timeseries offsets for it
-                # (n_dms is recorded in the metrics JSON; rows from
-                # runs predating that field never count done — the
-                # safe direction).  Caveat: the timeseries count is
-                # not run-scoped (series rows carry no run_id), so a
-                # shared out_dir across configs weakens — never
-                # strengthens — the series check.
+                # all n_dms of its timeseries offsets (n_dms is
+                # recorded in the metrics JSON).  Caveat: series rows
+                # carry no run/config tag, so chunked resume REQUIRES
+                # one out_dir per config — shared across configs,
+                # another config's series could satisfy the count with
+                # values computed under different processing (the
+                # offset < n_dms scoping below narrows, but cannot
+                # close, that hole).  Same-config reruns are safe:
+                # their series are identical by determinism.
                 m = meta.select(
                     "doc_id",
                     F.get_json_object("text", "$.chunk_id").cast("int")
@@ -711,15 +720,28 @@ def run_job(spark: SparkSession, docs: DataFrame | str, cfg: RunConfig,
                       .agg(F.countDistinct("chunk_id").alias("nc"),
                            F.max("n_chunks").alias("n_chunks"),
                            F.max("n_dms").alias("n_dms")))
+                # Metrics rows written before the n_dms field cannot
+                # prove series completeness; treating them as not-done
+                # would re-append a full duplicate span set on EVERY
+                # resume (never converging) — fail loudly instead.
+                if md.where(F.col("n_dms").isNull()).limit(1).count():
+                    raise LedgerValidationError(
+                        "chunked resume found ledger metrics without "
+                        "the n_dms field (written by a pre-n_dms "
+                        "version); series completeness cannot be "
+                        "validated.  Start a fresh --out directory "
+                        "(or finish the run with the old version).")
                 ts = (spark.read.parquet(spans_path)
                       .where(F.col("kind") == "timeseries")
+                      .select("doc_id", "offset")
+                      .join(md.select("doc_id", "n_dms"), "doc_id")
+                      .where(F.col("offset") < F.col("n_dms"))
                       .groupBy("doc_id")
                       .agg(F.countDistinct("offset").alias("n_ts")))
                 done = (md.join(ts, "doc_id", "left")
                         .where((F.col("nc") == F.col("n_chunks"))
                                & (F.coalesce(F.col("n_ts"), F.lit(0))
-                                  >= F.coalesce(F.col("n_dms"),
-                                                F.lit(1 << 30))))
+                                  >= F.col("n_dms")))
                         .select("doc_id"))
             else:
                 # Per-document path: one task emits a doc's spans AND
@@ -729,8 +751,10 @@ def run_job(spark: SparkSession, docs: DataFrame | str, cfg: RunConfig,
             docs = docs.join(done, "doc_id", "left_anti")
             n_remaining = docs.count()
             n_skipped = n_input - n_remaining
-        except Exception:
-            n_remaining = n_input
+        except LedgerValidationError:
+            raise           # a broken ledger must not look like a
+        except Exception:   # fresh out_dir (the catch below is for
+            n_remaining = n_input   # "spans path does not exist yet")
         if n_remaining == 0 and not spans_readable:
             # Nothing ever written for this out_dir (the spans read
             # failed) and no input: return cleanly instead of crashing

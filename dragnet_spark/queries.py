@@ -279,12 +279,6 @@ def q_text_quality(spark, sf_dir):
     char_sum = F.aggregate(arr, F.lit(0),
                            lambda acc, t: acc + F.length(t))
 
-    def marker_count(lg: str):
-        # closure factory, not a default arg — a second lambda
-        # parameter would make F.filter pass the element *index*.
-        return F.size(F.filter(
-            arr, lambda t: t.isin(*LANG_MARKERS[lg]))).cast("bigint")
-
     sel = w.select(
         "doc_id", "lang",
         n.cast("bigint").alias("n_tokens"),
@@ -292,7 +286,8 @@ def q_text_quality(spark, sf_dir):
          .alias("n_distinct_tokens"),
         F.round(stop.cast("double") / n, 6).alias("stopword_ratio"),
         F.round(char_sum.cast("double") / n, 6).alias("mean_token_len"),
-        *[marker_count(lg).alias(f"score_{lg}") for lg in _LANG_ORDER])
+        *[_marker_count(arr, lg).alias(f"score_{lg}")
+          for lg in _LANG_ORDER])
     return sel.withColumn("predicted_lang", _lang_pred_expr())
 
 
@@ -520,6 +515,16 @@ LANG_MARKERS = {
 _LANG_ORDER = ("en", "de", "es", "fr", "zh")
 
 
+def _marker_count(arr, lg: str):
+    """Count of tokens in ``lg``'s marker set over a token-array
+    column — the ONE language-ID scoring definition shared by the
+    gate-checked merged q_text_quality and the standalone q_lang_id,
+    so the two cannot drift.  (Single-parameter lambda on purpose: a
+    second parameter would make F.filter pass the element *index*.)"""
+    return F.size(F.filter(
+        arr, lambda t: t.isin(*LANG_MARKERS[lg]))).cast("bigint")
+
+
 def _lang_pred_expr():
     """predicted = first language (fixed order) whose marker score is
     >= every other language's score, over the ``score_<lg>`` columns."""
@@ -544,13 +549,7 @@ def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     arr = F.split(F.col("text"), " ")
 
-    def marker_count(lg: str):
-        # NB: closure factory, not a default arg — a second lambda
-        # parameter would make F.filter pass the element *index*.
-        return F.size(F.filter(
-            arr, lambda w: w.isin(*LANG_MARKERS[lg]))).cast("bigint")
-
-    scores = {lg: marker_count(lg) for lg in _LANG_ORDER}
+    scores = {lg: _marker_count(arr, lg) for lg in _LANG_ORDER}
     sel = d.select("doc_id", F.col("lang").alias("actual_lang"),
                    *[scores[lg].alias(f"score_{lg}") for lg in _LANG_ORDER])
     return sel.withColumn("predicted_lang", _lang_pred_expr())
@@ -1346,6 +1345,21 @@ def _quant_codes(e):
                                  .cast("bigint")).alias("q"))
 
 
+def _quant_cosine(a, b):
+    """Quantized cosine between two int8-code array columns: EXACT
+    BIGINT dot/ssq accumulation (codes <= 127, a 4096-dim dot keeps
+    2^40 headroom), then two sqrts and one division — the single
+    shared definition both the standalone top-k and the rescore
+    shortlist rank by, so their determinism story cannot diverge."""
+    def idot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda u, v: u * v),
+                           F.lit(0).cast("bigint"), lambda acc, u: acc + u)
+
+    return idot(a, b).cast("double") \
+        / (F.sqrt(idot(a, a).cast("double"))
+           * F.sqrt(idot(b, b).cast("double")))
+
+
 def q_ann_quantized_topk(spark, sf_dir):
     """Cosine top-10 computed entirely on int8-quantized codes — the
     production retrieval shape (4x less memory bandwidth than f32;
@@ -1365,14 +1379,7 @@ def q_ann_quantized_topk(spark, sf_dir):
     query = F.broadcast(qc.where(F.col("vec_id") == 0)
                         .select(F.col("q").alias("qb")))
 
-    def idot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-
-    a, b = F.col("q"), F.col("qb")
-    cos = idot(a, b).cast("double") \
-        / (F.sqrt(idot(a, a).cast("double"))
-           * F.sqrt(idot(b, b).cast("double")))
+    cos = _quant_cosine(F.col("q"), F.col("qb"))
     return (qc.where(F.col("vec_id") != 0).crossJoin(query)
             .select("vec_id", F.round(cos, 6).alias("cos_q"))
             .orderBy(F.desc("cos_q"), F.asc("vec_id"))
@@ -1404,14 +1411,7 @@ def q_ann_quantized_rescore(spark, sf_dir):
     qcodes = F.broadcast(qc.where(F.col("vec_id") == 0)
                          .select(F.col("q").alias("qb")))
 
-    def idot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-
-    a, b = F.col("q"), F.col("qb")
-    cos_q = idot(a, b).cast("double") \
-        / (F.sqrt(idot(a, a).cast("double"))
-           * F.sqrt(idot(b, b).cast("double")))
+    cos_q = _quant_cosine(F.col("q"), F.col("qb"))
     shortlist = (qc.where(F.col("vec_id") != 0).crossJoin(qcodes)
                  .select("vec_id", cos_q.alias("cos_q"))
                  .orderBy(F.desc("cos_q"), F.asc("vec_id"))

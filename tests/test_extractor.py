@@ -410,3 +410,40 @@ def test_chunked_path_with_decimation(spark):
     assert got.keys() == want.keys()
     for doc_id in want:
         assert got[doc_id] == want[doc_id], f"ndec chunked mismatch {doc_id}"
+
+
+def test_chunked_resume_rejects_pre_n_dms_ledger(spark, tmp_path):
+    """Ledger metrics written before the n_dms field cannot prove
+    series completeness; treating them as not-done would re-append a
+    full duplicate span set on EVERY resume (never converging), so
+    resume must fail loudly and name the remedy instead."""
+    import json as _json
+
+    from dragnet_spark.pipeline import LedgerValidationError
+
+    docs, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")["s6"]
+    cfg.blocksize = 192
+    out = str(tmp_path / "out")
+    run_job(spark, df, cfg, None, out, run_id="r1", resume=False,
+            chunked=True, blocks_per_chunk=1)
+
+    # Simulate a pre-n_dms ledger: strip the field from every spans
+    # metrics row (python-side JSON round-trip keeps the rest intact).
+    spans = spark.read.parquet(f"{out}/spans").toPandas()
+
+    def strip(t):
+        d = _json.loads(t)
+        d.pop("n_dms", None)
+        return _json.dumps(d, sort_keys=True)
+
+    m = spans["kind"] == "metrics"
+    spans.loc[m, "text"] = spans.loc[m, "text"].map(strip)
+    legacy = spark.createDataFrame(
+        spans, spark.read.parquet(f"{out}/spans").schema)
+    shutil.rmtree(f"{out}/spans")
+    legacy.write.parquet(f"{out}/spans")
+
+    with pytest.raises(LedgerValidationError, match="n_dms"):
+        run_job(spark, df, cfg, None, out, run_id="r1", chunked=True,
+                blocks_per_chunk=1)
