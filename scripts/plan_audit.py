@@ -98,6 +98,25 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "curate_decisions": ([r"BroadcastHashJoin"],
                          [r"CartesianProduct", r"LocalTableScan",
                           r"CollectLimit"]),
+    # Segment dedup: join-free — the fingerprint window rides one
+    # segment-level exchange and the per-doc rollup is partial-agg'd
+    # map-side before its (tiny) doc_id exchange.
+    "dedup_segments": ([r"Window", r"partial_|Partial"],
+                       [r"HashJoin", r"SortMergeJoin",
+                        r"CartesianProduct", r"LocalTableScan"]),
+    # HLL sketch: the mergeable map-side partial max per register is
+    # the whole point — it must appear before the register exchange;
+    # the only join is the benign 1-row x 1-row cross of the two
+    # final aggregates.
+    "approx_distinct_hll": ([r"partial_max"],
+                            [r"SortMergeJoin", r"CartesianProduct",
+                             r"LocalTableScan"]),
+    # MinHash LSH: banded bucket self-join — a hash join on
+    # (band, bucket), NEVER an all-pairs nested loop over the corpus.
+    "dedup_minhash_lsh": ([r"HashJoin|SortMergeJoin"],
+                          [r"CartesianProduct",
+                           r"BroadcastNestedLoopJoin",
+                           r"LocalTableScan"]),
 }
 
 
