@@ -944,3 +944,33 @@ def test_no_per_row_python_udfs_in_package():
                          line):
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_quant_codes_reconstruction_bound(spark, tmp_path):
+    """Property of the shared int8 quantizer over a seeded random
+    batch (128 vectors x 24 dims, scales spanning 1e-3..1e3): codes
+    stay in [-127, 127], per-vector scale is exactly max|x|/127, and
+    round-half-up guarantees |x - q*scale| <= scale/2 for EVERY
+    coordinate — the reconstruction bound the ANN rescore stage's
+    recall argument rests on."""
+    import numpy as np
+
+    from dragnet_spark.queries import _quant_codes
+
+    rng = np.random.default_rng(42)
+    vecs = []
+    for i in range(128):
+        mag = 10.0 ** rng.uniform(-3, 3)
+        vecs.append((i + 1, (rng.uniform(-1, 1, 24) * mag).astype("f4")))
+    sf = _write_embs(spark, tmp_path, vecs)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = {r.vec_id: r for r in _quant_codes(e).collect()}
+    assert len(got) == 128
+    for vid, v in vecs:
+        r = got[vid]
+        x = v.astype("f8")              # the query casts f4 -> double
+        scale = np.abs(x).max() / 127.0  # same formula as _quant_codes
+        q = np.array(r.q, dtype="f8")
+        assert q.min() >= -127 and q.max() <= 127
+        err = np.abs(x - q * scale)
+        assert (err <= scale / 2 + 1e-12 * scale).all(), (vid, err.max())
