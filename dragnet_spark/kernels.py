@@ -485,10 +485,15 @@ def process_block(block_u8: np.ndarray, plan, offset_abs: int,
     in-place edits must not leak into the next block's view).
     Returns (out_block, n_clipped_delta, n_sk_masked_delta)."""
     cfg = plan.cfg
-    buf = np.array(block_u8, dtype=np.uint8, copy=True)
-
-    # P2: user channel zap on the byte buffer (dragnet.cu:249-261)
-    zap_channels(buf, plan.zap_channels, padvals if use_mask else None)
+    # P2: user channel zap on the byte buffer (dragnet.cu:249-261).
+    # The zap is the ONLY in-place edit of the uint8 buffer, so the
+    # defensive copy is paid only when a zap list exists — with no
+    # zap (the common config) the astype below is the first copy.
+    if plan.zap_channels.size:
+        buf = np.array(block_u8, dtype=np.uint8, copy=True)
+        zap_channels(buf, plan.zap_channels, padvals if use_mask else None)
+    else:
+        buf = block_u8
 
     # P3: widen to float32 (dragnet.cu:266-271)
     fbuf = buf.astype(np.float32)
@@ -516,6 +521,27 @@ def process_block(block_u8: np.ndarray, plan, offset_abs: int,
     return dedisperse(fbuf, plan.delays, plan.max_delay), n_clipped, n_sk
 
 
+def block_loop_setup(plan) -> tuple[bool, int, np.ndarray, dict | None]:
+    """Shared preamble of the batch (:func:`process_document`) and
+    streaming (:mod:`dragnet_spark.streaming`) block loops: mask
+    gating, halo shift (raw samples), the padvals scratch vector, and
+    the rfifind-mask kwargs.  ONE definition so the stream == batch
+    bit-parity argument covers the setup, not just the shared block
+    body — a drift here would be invisible to the shared-kernel
+    argument."""
+    cfg = plan.cfg
+    use_mask = cfg.use_mask and plan.mask is not None
+    shift_back_raw = plan.max_delay * cfg.ndec
+    padvals = (plan.padvals.copy() if use_mask and plan.padvals.size
+               else np.zeros(plan.header.nchan, dtype=np.float32))
+    mask_args = dict(dtint=plan.mask.dtint, numint=plan.mask.numint,
+                     zap_ints=plan.mask_zap_ints,
+                     zap_chans=plan.mask_zap_chans,
+                     chans_per_int=plan.mask_chans_per_int) \
+        if use_mask else None
+    return use_mask, shift_back_raw, padvals, mask_args
+
+
 def process_document(data: np.ndarray, plan,
                      offset0: int = 0) -> tuple[np.ndarray, dict]:
     """Run the full cleaning+dedispersion block loop on one document's
@@ -539,14 +565,7 @@ def process_document(data: np.ndarray, plan,
     if nsamp_raw % ndec != 0:
         raise ValueError(f"nsamp {nsamp_raw} not a multiple of ndec {ndec}")
 
-    use_mask = cfg.use_mask and plan.mask is not None
-    shift_back_raw = plan.max_delay * ndec
-    padvals = (plan.padvals.copy() if use_mask and plan.padvals.size
-               else np.zeros(nchan, dtype=np.float32))
-    mask_args = dict(dtint=plan.mask.dtint, numint=plan.mask.numint,
-                     zap_ints=plan.mask_zap_ints,
-                     zap_chans=plan.mask_zap_chans,
-                     chans_per_int=plan.mask_chans_per_int) if use_mask else None
+    use_mask, shift_back_raw, padvals, mask_args = block_loop_setup(plan)
     clip_state = ClipState()
 
     ndm = plan.dmlist.shape[0]

@@ -49,10 +49,25 @@ def stream_events(spark: SparkSession, sf_dir: str,
                   watermark: str = "2 hours") -> DataFrame:
     """File-source stream over the events parquet (at scale: a Kafka /
     Iceberg CDC source) with an event-time watermark for late rows."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # events.parquet comes in two shapes and FileStreamSource accepts
+    # neither universally: when it is a DIRECTORY of part files (any
+    # Spark-written table), pathGlobFilter="events.parquet" over
+    # sf_dir silently matches ZERO data files (they are named
+    # part-*.parquet) and the stream is empty with no error; when it
+    # is a single FILE (the driver's testdata), streaming the path
+    # itself fails with "Option 'basePath' must be a directory".
+    # Stream the directory directly, or the parent + an exact-name
+    # glob filter for the single-file layout.
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
     # parquet stores TIMESTAMP_NTZ; event-time watermarks need TIMESTAMP.
     return (raw.withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", watermark))
@@ -171,7 +186,8 @@ CLIP_STATE_SCHEMA = StructType([
 
 
 def streaming_clipper(blocks: DataFrame, clip_sigma: float,
-                      nchan: int) -> DataFrame:
+                      nchan: int,
+                      idle_timeout_ms: int | None = None) -> DataFrame:
     """The reference's time-domain clipper (W1, ``mask.c:556-677``) as
     a real stateful streaming operator: the EWMA running state that the
     C code keeps in function statics (``mask.c:564-566``) lives in the
@@ -179,12 +195,29 @@ def streaming_clipper(blocks: DataFrame, clip_sigma: float,
     micro-batches — blocks of one document arriving in later triggers
     continue the same recursion.  Within a micro-batch, a group's
     blocks are processed in block_id order (the stream's analog of the
-    reference's sequential read order)."""
+    reference's sequential read order).
+
+    The block stream carries no end-of-document marker, so on a
+    long-running (continuous-trigger) deployment state would grow with
+    the stream's total document count; pass ``idle_timeout_ms`` there
+    to evict a document's EWMA entry once it stops sending blocks for
+    that much processing time.  The default (``None`` = ``NoTimeout``)
+    is REQUIRED for ``availableNow``/one-shot runs: with a
+    processing-time timeout registered, Spark keeps scheduling no-data
+    micro-batches until every pending timeout fires, so an
+    ``availableNow`` query with a long idle timeout never terminates
+    (observed on Spark 4.1.2: batchId past 140 with ``numInputRows=0``
+    after the two data batches)."""
     import numpy as np
     import pandas as pd
 
     def fn(key, pdfs, state):
         from .kernels import ClipState, clip_times
+        if state.hasTimedOut:
+            state.remove()          # idle doc: evict the EWMA entry
+            yield pd.DataFrame(
+                [], columns=[f.name for f in CLIP_OUT_SCHEMA])
+            return
         if state.exists:
             ra, rs, ca, br = state.get
             st = ClipState(np.float32(ra), np.float32(rs),
@@ -210,12 +243,16 @@ def streaming_clipper(blocks: DataFrame, clip_sigma: float,
         state.update((float(st.running_avg), float(st.running_std),
                       [float(v) for v in st.chan_running_avg],
                       int(st.blocksread)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(rows, columns=[f.name for f in CLIP_OUT_SCHEMA])
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return blocks.groupBy("doc_id").applyInPandasWithState(
-        fn, CLIP_OUT_SCHEMA, CLIP_STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout)
+        fn, CLIP_OUT_SCHEMA, CLIP_STATE_SCHEMA, "append", timeout)
 
 
 # --------------------------------------------------------------------------
@@ -262,7 +299,34 @@ DEDISP_STATE_SCHEMA = StructType([
 ])
 
 
-def streaming_dedisperse(strips: DataFrame, cfg, mask=None) -> DataFrame:
+# Per-executor memo for the driver-side objects every group needs:
+# without it, EVERY document group in EVERY micro-batch re-parses the
+# header/cfg/mask JSON and re-solves the whole plan (delay matrix, SK
+# limits, mask inversion) — pure repeated CPU for the life of the
+# stream.  Keyed by the exact JSON triple; bounded (cleared at 64
+# entries — far above any real header/config variety per job).
+_PLAN_MEMO: dict = {}
+
+
+def _memo_plan(header_json: str, cfg_json: str, mask_json):
+    from .params import Header, MaskSpec, RunConfig
+    from .plan import build_plan
+
+    key = (header_json, cfg_json, mask_json)
+    hit = _PLAN_MEMO.get(key)
+    if hit is None:
+        if len(_PLAN_MEMO) >= 64:
+            _PLAN_MEMO.clear()
+        header = Header.from_json(header_json)
+        cfg_l = RunConfig.from_json(cfg_json)
+        mask_l = MaskSpec.from_json(mask_json) if mask_json else None
+        hit = (header, cfg_l, build_plan(header, cfg_l, mask_l))
+        _PLAN_MEMO[key] = hit
+    return hit
+
+
+def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
+                         idle_timeout_ms: int | None = None) -> DataFrame:
     """The reference's ENTIRE main loop (W3, ``dragnet.cu:237-330``) as
     a stateful streaming operator: raw-sample strips of a document
     arrive across micro-batches (in offset order, arbitrary strip
@@ -278,34 +342,54 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None) -> DataFrame:
     sequential EWMA state (``mask.c:564-566``) lives in the state
     store next to the halo tail, exactly as the C statics live across
     ``fread`` calls.  A final row per document (``dm_index = -1``)
-    carries the batch-identical metrics JSON."""
+    carries the batch-identical metrics JSON, after which the
+    document's state is REMOVED — state is bounded by the in-flight
+    (not total) document count.  Strips redelivered after completion
+    (at-least-once sources) are ignored idempotently.
+
+    On a long-running (continuous-trigger) deployment, additionally
+    pass ``idle_timeout_ms``: a document that stalls mid-stream for
+    that much processing time is evicted with a ``"truncated": true``
+    metrics row, so abandoned partial documents cannot pin their halo
+    buffers forever.  The default (``None`` = ``NoTimeout``) is
+    REQUIRED for ``availableNow``/one-shot runs — with a
+    processing-time timeout registered, Spark keeps scheduling no-data
+    micro-batches until every pending timeout fires, so an
+    ``availableNow`` query with a long idle timeout never terminates
+    (observed on Spark 4.1.2; see :func:`streaming_clipper`)."""
     import json as _json
 
     import numpy as np
     import pandas as pd
 
-    from .params import Header, MaskSpec, RunConfig
-    from .plan import build_plan
-    from .kernels import ClipState, process_block
+    from .kernels import ClipState, block_loop_setup, process_block
 
     cfg_json = cfg.to_json()
     mask_json = mask.to_json() if mask is not None else None
 
     def fn(key, pdfs, state):
-        cfg_l = RunConfig.from_json(cfg_json)
-        mask_l = MaskSpec.from_json(mask_json) if mask_json else None
+        if state.hasTimedOut:
+            # Stalled mid-document: evict, flagging the truncation.
+            (isamp, nread, opos, buf, n_blocks, n_clipped, n_sk, done,
+             c_avg, c_std, c_chan, c_blocks) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], n_blocks, -1, opos, None,
+                  _json.dumps({"n_blocks": n_blocks,
+                               "n_clipped_samples": int(n_clipped),
+                               "n_sk_masked_intervals": int(n_sk),
+                               "truncated": True}, sort_keys=True))],
+                columns=[f.name for f in DEDISP_OUT_SCHEMA])
+            return
         pdf = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values("strip_offset")
-        header = Header.from_json(pdf["header"].iloc[0])
-        plan = build_plan(header, cfg_l, mask_l)
+        header, cfg_l, plan = _memo_plan(
+            pdf["header"].iloc[0], cfg_json, mask_json)
         nchan = header.nchan
-        use_mask = cfg_l.use_mask and plan.mask is not None
-        shift_back = plan.max_delay * cfg_l.ndec
-        mask_args = dict(dtint=plan.mask.dtint, numint=plan.mask.numint,
-                         zap_ints=plan.mask_zap_ints,
-                         zap_chans=plan.mask_zap_chans,
-                         chans_per_int=plan.mask_chans_per_int) \
-            if use_mask else None
+        # Same preamble as the batch loop — ONE definition
+        # (kernels.block_loop_setup), so the bit-parity argument
+        # covers the setup, not just the shared block body.
+        use_mask, shift_back, padvals, mask_args = block_loop_setup(plan)
 
         if state.exists:
             (isamp, nread, opos, buf, n_blocks, n_clipped, n_sk, done,
@@ -315,11 +399,18 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None) -> DataFrame:
                                    np.asarray(c_chan, dtype=np.float32),
                                    int(c_blocks))
         else:
+            if int(pdf["strip_offset"].iloc[0]) != 0:
+                # No state and a mid-document offset: the doc already
+                # finished and its state was removed — these strips are
+                # an at-least-once redelivery.  Ignore idempotently
+                # (raising here would poison the query on every
+                # checkpoint replay).
+                yield pd.DataFrame(
+                    [], columns=[f.name for f in DEDISP_OUT_SCHEMA])
+                return
             isamp = nread = opos = 0
             buf, n_blocks, n_clipped, n_sk, done = b"", 0, 0, 0, 0
             clip_state = ClipState()
-        padvals = (plan.padvals.copy() if use_mask and plan.padvals.size
-                   else np.zeros(nchan, dtype=np.float32))
         # NB: padvals is clip_times' good_chan_levels scratch — it is
         # overwritten with the running channel averages each block
         # (mask.c:654-656), which the EWMA state fully determines, so
@@ -327,14 +418,21 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None) -> DataFrame:
         if use_mask and clip_state.blocksread:
             padvals[:] = clip_state.chan_running_avg
 
+        # Linear accumulation: one b''.join instead of bytes-+= per
+        # strip (quadratic re-copying when a giant document arrives as
+        # many small strips in one trigger).
+        parts = [buf]
+        expected = isamp * nchan + len(buf)
         for r in pdf.itertuples(index=False):
-            if int(r.strip_offset) * nchan != isamp * nchan + len(buf):
+            if int(r.strip_offset) * nchan != expected:
                 raise ValueError(
                     f"non-contiguous strip for {key[0]}: offset "
-                    f"{r.strip_offset}, expected "
-                    f"{isamp + len(buf) // nchan}")
-            buf += bytes(r.payload)
-            nread += len(r.payload) // nchan
+                    f"{r.strip_offset}, expected {expected // nchan}")
+            p = bytes(r.payload)
+            parts.append(p)
+            expected += len(p)
+            nread += len(p) // nchan
+        buf = b"".join(parts)
 
         rows = []
         while not done:
@@ -366,16 +464,26 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None) -> DataFrame:
                                  "n_clipped_samples": int(n_clipped),
                                  "n_sk_masked_intervals": int(n_sk)},
                                  sort_keys=True)))
-        state.update((isamp, nread, opos, buf if not done else b"",
-                      n_blocks, int(n_clipped), int(n_sk), int(done),
-                      float(clip_state.running_avg),
-                      float(clip_state.running_std),
-                      [float(v) for v in clip_state.chan_running_avg],
-                      int(clip_state.blocksread)))
+        if done:
+            # Finished document: EVICT — state is bounded by in-flight
+            # docs, not the stream's total document count.
+            state.remove()
+        else:
+            state.update((isamp, nread, opos, buf,
+                          n_blocks, int(n_clipped), int(n_sk), int(done),
+                          float(clip_state.running_avg),
+                          float(clip_state.running_std),
+                          [float(v)
+                           for v in clip_state.chan_running_avg],
+                          int(clip_state.blocksread)))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(rows,
                            columns=[f.name for f in DEDISP_OUT_SCHEMA])
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return strips.groupBy("doc_id").applyInPandasWithState(
-        fn, DEDISP_OUT_SCHEMA, DEDISP_STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout)
+        fn, DEDISP_OUT_SCHEMA, DEDISP_STATE_SCHEMA, "append", timeout)

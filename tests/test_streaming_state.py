@@ -302,3 +302,112 @@ def test_streaming_sessions_state_is_evicted_by_watermark(spark, tmp_path):
     assert states, "no session-window state operator reported"
     assert sum(so["numRowsRemoved"] for so in states) == 3
     assert states[-1]["numRowsTotal"] == 3     # only batch-2 sessions
+
+
+def test_streaming_dedisperse_evicts_done_and_ignores_redelivery(
+        spark, tmp_path):
+    """Round-5 bounded-state contract of streaming_dedisperse: a
+    finished document's state entry is REMOVED (numRowsTotal drops to
+    0 — state is bounded by in-flight docs, not total docs), and
+    strips redelivered AFTER completion (at-least-once sources
+    replaying a checkpoint) are ignored idempotently instead of
+    poisoning the query with a contiguity error or duplicate output."""
+    import json
+
+    from dragnet_spark.generate import make_document, scenario_configs
+    from dragnet_spark.kernels import process_document
+    from dragnet_spark.plan import build_plan
+    from dragnet_spark.streaming import STRIP_SCHEMA, streaming_dedisperse
+
+    doc = make_document("tiny", 0)
+    header, data, _ = decode_document(doc["spans"])
+    cfg = scenario_configs("tiny")["s1"]
+    cfg.blocksize = 192
+    plan = build_plan(header, cfg, None)
+    want, metrics = process_document(data, plan)
+
+    cuts = [0, 192, 512]
+    strips = [(doc["doc_id"], header.to_json(), int(cuts[i]),
+               np.ascontiguousarray(data[cuts[i]:cuts[i + 1]]).tobytes())
+              for i in range(len(cuts) - 1)]
+    d = tmp_path / "stream_replay"
+    d.mkdir()
+    _write_strip_file(str(d / "000.parquet"), strips)
+    # batch 2: a full REDELIVERY of the mid-doc strip after the doc
+    # finished (its state was evicted) — must be a silent no-op
+    _write_strip_file(str(d / "001.parquet"), strips[1:])
+    now = time.time()
+    os.utime(str(d / "000.parquet"), (now - 10, now - 10))
+    os.utime(str(d / "001.parquet"), (now + 5, now + 5))
+
+    stream = (spark.readStream.schema(STRIP_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (streaming_dedisperse(stream, cfg)
+         .writeStream.format("memory").queryName("dedisp_replay_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("dedisp_replay_test").collect()
+
+    # output identical to a clean single-delivery run: one metrics row
+    # (not truncated), every series chunk exactly once
+    mrows = [r for r in rows if r.dm_index == -1]
+    assert len(mrows) == 1
+    assert json.loads(mrows[0].metrics) == metrics
+    got: dict[int, bytes] = {}
+    for r in sorted((r for r in rows if r.dm_index >= 0),
+                    key=lambda r: (r.dm_index, r.block_seq)):
+        got[r.dm_index] = got.get(r.dm_index, b"") + bytes(r.series)
+    for d_idx in range(want.shape[0]):
+        assert got[d_idx] == np.ascontiguousarray(
+            want[d_idx], dtype="<f4").tobytes()
+
+    # the state store ends EMPTY: the done-eviction removed the entry
+    states = [so for p in q.recentProgress
+              for so in p["stateOperators"]]
+    assert states, "no state operator reported"
+    assert states[-1]["numRowsTotal"] == 0
+
+
+def test_streaming_dedisperse_idle_timeout_truncates(spark, tmp_path):
+    """The opt-in ProcessingTimeTimeout path (continuous deployments):
+    a document that stalls mid-stream is evicted after idle_timeout_ms
+    with a ``"truncated": true`` metrics row, so abandoned partial
+    documents cannot pin their halo buffers forever.  Runs under a
+    processingTime trigger (an availableNow query with pending
+    timeouts would never terminate — pinned in the docstring)."""
+    import json
+
+    from dragnet_spark.generate import make_document, scenario_configs
+    from dragnet_spark.streaming import STRIP_SCHEMA, streaming_dedisperse
+
+    doc = make_document("tiny", 0)
+    header, data, _ = decode_document(doc["spans"])
+    cfg = scenario_configs("tiny")["s1"]
+    cfg.blocksize = 192
+
+    # only the first 192 samples of 512 ever arrive: one block is
+    # emitted, then the doc stalls forever
+    strips = [(doc["doc_id"], header.to_json(), 0,
+               np.ascontiguousarray(data[:192]).tobytes())]
+    d = tmp_path / "stream_stall"
+    d.mkdir()
+    _write_strip_file(str(d / "000.parquet"), strips)
+
+    stream = spark.readStream.schema(STRIP_SCHEMA).parquet(str(d))
+    q = (streaming_dedisperse(stream, cfg, idle_timeout_ms=2000)
+         .writeStream.format("memory").queryName("dedisp_stall_test")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 120
+        mrow = None
+        while time.time() < deadline and mrow is None:
+            time.sleep(2)
+            for r in spark.table("dedisp_stall_test").collect():
+                if r.dm_index == -1:
+                    mrow = r
+        assert mrow is not None, "idle timeout never fired"
+        m = json.loads(mrow.metrics)
+        assert m["truncated"] is True
+        assert m["n_blocks"] == 1          # the one completed block
+    finally:
+        q.stop()
