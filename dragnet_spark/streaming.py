@@ -345,7 +345,11 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
     carries the batch-identical metrics JSON, after which the
     document's state is REMOVED — state is bounded by the in-flight
     (not total) document count.  Strips redelivered after completion
-    (at-least-once sources) are ignored idempotently.
+    (at-least-once sources) are ignored idempotently: mid-document
+    replays via the no-state-at-offset>0 heuristic, and — when
+    ``idle_timeout_ms`` is set — FULL offset-0 replays too, via a tiny
+    completed-doc tombstone (done flag, no halo buffer) kept for one
+    TTL window before the timeout evicts it.
 
     On a long-running (continuous-trigger) deployment, additionally
     pass ``idle_timeout_ms``: a document that stalls mid-stream for
@@ -369,10 +373,16 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
-            # Stalled mid-document: evict, flagging the truncation.
             (isamp, nread, opos, buf, n_blocks, n_clipped, n_sk, done,
              c_avg, c_std, c_chan, c_blocks) = state.get
             state.remove()
+            if done:
+                # A completed-doc tombstone reached the end of its
+                # redelivery horizon: silently drop it.
+                yield pd.DataFrame(
+                    [], columns=[f.name for f in DEDISP_OUT_SCHEMA])
+                return
+            # Stalled mid-document: evict, flagging the truncation.
             yield pd.DataFrame(
                 [(key[0], n_blocks, -1, opos, None,
                   _json.dumps({"n_blocks": n_blocks,
@@ -394,6 +404,18 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
         if state.exists:
             (isamp, nread, opos, buf, n_blocks, n_clipped, n_sk, done,
              c_avg, c_std, c_chan, c_blocks) = state.get
+            if done:
+                # Completed-doc tombstone (idle_timeout_ms mode): every
+                # strip of this doc arriving now is an at-least-once
+                # redelivery — including a FULL replay starting at
+                # offset 0, which the stateless offset!=0 heuristic
+                # below cannot catch (it would silently reprocess the
+                # whole document and emit duplicate output).  Ignore
+                # and re-arm the tombstone's TTL.
+                state.setTimeoutDuration(idle_timeout_ms)
+                yield pd.DataFrame(
+                    [], columns=[f.name for f in DEDISP_OUT_SCHEMA])
+                return
             buf = bytes(buf)
             clip_state = ClipState(np.float32(c_avg), np.float32(c_std),
                                    np.asarray(c_chan, dtype=np.float32),
@@ -465,9 +487,24 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
                                  "n_sk_masked_intervals": int(n_sk)},
                                  sort_keys=True)))
         if done:
-            # Finished document: EVICT — state is bounded by in-flight
-            # docs, not the stream's total document count.
-            state.remove()
+            if idle_timeout_ms is not None:
+                # Finished document on a continuous deployment: keep a
+                # TINY tombstone (done=1, no halo buffer) for one TTL
+                # window so redelivered strips — including full
+                # offset-0 replays — are recognized and dropped, then
+                # let the timeout evict it.  State stays bounded by
+                # (in-flight docs + docs completed within the last
+                # TTL), not the stream's total document count.
+                state.update((isamp, nread, opos, b"",
+                              n_blocks, int(n_clipped), int(n_sk), 1,
+                              0.0, 0.0, [], 0))
+                state.setTimeoutDuration(idle_timeout_ms)
+            else:
+                # One-shot (availableNow) runs: EVICT immediately —
+                # timeouts are unavailable (see docstring), and the
+                # offset!=0 heuristic above still catches partial
+                # replays.
+                state.remove()
         else:
             state.update((isamp, nread, opos, buf,
                           n_blocks, int(n_clipped), int(n_sk), int(done),

@@ -411,3 +411,71 @@ def test_streaming_dedisperse_idle_timeout_truncates(spark, tmp_path):
         assert m["n_blocks"] == 1          # the one completed block
     finally:
         q.stop()
+
+
+def test_streaming_dedisperse_tombstone_suppresses_full_replay(
+        spark, tmp_path):
+    """With idle_timeout_ms set (continuous deployments), a completed
+    document leaves a TINY tombstone instead of evicting immediately,
+    so a FULL redelivery — offset-0 strip included, which the
+    stateless offset!=0 heuristic cannot catch — is dropped instead of
+    reprocessing the document and emitting duplicate output.  The
+    tombstone then self-evicts via the TTL (numRowsTotal -> 0)."""
+    import json
+
+    from dragnet_spark.generate import make_document, scenario_configs
+    from dragnet_spark.kernels import process_document
+    from dragnet_spark.plan import build_plan
+    from dragnet_spark.streaming import STRIP_SCHEMA, streaming_dedisperse
+
+    doc = make_document("tiny", 0)
+    header, data, _ = decode_document(doc["spans"])
+    cfg = scenario_configs("tiny")["s1"]
+    cfg.blocksize = 192
+    plan = build_plan(header, cfg, None)
+    want, metrics = process_document(data, plan)
+
+    strips = [(doc["doc_id"], header.to_json(), 0,
+               np.ascontiguousarray(data).tobytes())]
+    d = tmp_path / "stream_tombstone"
+    d.mkdir()
+    _write_strip_file(str(d / "000.parquet"), strips)
+    # batch 2: the WHOLE document again (checkpoint-loss replay)
+    _write_strip_file(str(d / "001.parquet"), strips)
+    now = time.time()
+    os.utime(str(d / "000.parquet"), (now - 10, now - 10))
+    os.utime(str(d / "001.parquet"), (now + 2, now + 2))
+
+    stream = (spark.readStream.schema(STRIP_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (streaming_dedisperse(stream, cfg, idle_timeout_ms=3000)
+         .writeStream.format("memory").queryName("dedisp_tomb_test")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        # wait until the tombstone has been evicted by its TTL
+        deadline = time.time() + 120
+        evicted = False
+        while time.time() < deadline and not evicted:
+            time.sleep(2)
+            states = [so for p in q.recentProgress
+                      for so in p["stateOperators"]]
+            evicted = (any(so["numRowsTotal"] > 0 for so in states)
+                       and states[-1]["numRowsTotal"] == 0)
+        assert evicted, "tombstone never evicted"
+        rows = spark.table("dedisp_tomb_test").collect()
+    finally:
+        q.stop()
+
+    # output identical to a single clean delivery: ONE metrics row
+    # (not truncated — the tombstone timeout must not emit one),
+    # every series chunk exactly once
+    mrows = [r for r in rows if r.dm_index == -1]
+    assert len(mrows) == 1
+    assert json.loads(mrows[0].metrics) == metrics
+    got: dict[int, bytes] = {}
+    for r in sorted((r for r in rows if r.dm_index >= 0),
+                    key=lambda r: (r.dm_index, r.block_seq)):
+        got[r.dm_index] = got.get(r.dm_index, b"") + bytes(r.series)
+    for d_idx in range(want.shape[0]):
+        assert got[d_idx] == np.ascontiguousarray(
+            want[d_idx], dtype="<f4").tobytes()
