@@ -49,8 +49,6 @@ def stream_events(spark: SparkSession, sf_dir: str,
                   watermark: str = "2 hours") -> DataFrame:
     """File-source stream over the events parquet (at scale: a Kafka /
     Iceberg CDC source) with an event-time watermark for late rows."""
-    import os
-
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # events.parquet comes in two shapes and FileStreamSource accepts
@@ -61,8 +59,15 @@ def stream_events(spark: SparkSession, sf_dir: str,
     # is a single FILE (the driver's testdata), streaming the path
     # itself fails with "Option 'basePath' must be a directory".
     # Stream the directory directly, or the parent + an exact-name
-    # glob filter for the single-file layout.
-    if os.path.isdir(path):
+    # glob filter for the single-file layout.  The layout probe goes
+    # through the Hadoop FileSystem of the path's own scheme — a
+    # driver-local os.path.isdir would return False for every
+    # s3a://-or-hdfs:// URI and silently re-enter the zero-match glob
+    # branch on exactly the remote sources this is meant for.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(hpath).isDirectory():
         raw = spark.readStream.schema(schema).parquet(path)
     else:
         raw = (spark.readStream.schema(schema)
@@ -201,22 +206,30 @@ def streaming_clipper(blocks: DataFrame, clip_sigma: float,
     long-running (continuous-trigger) deployment state would grow with
     the stream's total document count; pass ``idle_timeout_ms`` there
     to evict a document's EWMA entry once it stops sending blocks for
-    that much processing time.  The default (``None`` = ``NoTimeout``)
-    is REQUIRED for ``availableNow``/one-shot runs: with a
-    processing-time timeout registered, Spark keeps scheduling no-data
-    micro-batches until every pending timeout fires, so an
-    ``availableNow`` query with a long idle timeout never terminates
-    (observed on Spark 4.1.2: batchId past 140 with ``numInputRows=0``
-    after the two data batches)."""
+    that much processing time.  Eviction emits a MARKER row
+    (``block_id = -1``, ``n_clipped = -1``, the final running stats)
+    so downstream can tell the recursion was severed: blocks of that
+    document arriving after the eviction restart the EWMA from scratch
+    (new-document semantics), and without the marker their output
+    would be indistinguishable from unbroken-parity rows.  The default
+    (``None`` = ``NoTimeout``) is REQUIRED for
+    ``availableNow``/one-shot runs: with a processing-time timeout
+    registered, Spark keeps scheduling no-data micro-batches until
+    every pending timeout fires, so an ``availableNow`` query with a
+    long idle timeout never terminates (observed on Spark 4.1.2:
+    batchId past 140 with ``numInputRows=0`` after the two data
+    batches)."""
     import numpy as np
     import pandas as pd
 
     def fn(key, pdfs, state):
         from .kernels import ClipState, clip_times
         if state.hasTimedOut:
+            ra, rs, ca, br = state.get
             state.remove()          # idle doc: evict the EWMA entry
             yield pd.DataFrame(
-                [], columns=[f.name for f in CLIP_OUT_SCHEMA])
+                [(key[0], -1, -1, float(ra), float(rs))],
+                columns=[f.name for f in CLIP_OUT_SCHEMA])
             return
         if state.exists:
             ra, rs, ca, br = state.get
@@ -344,12 +357,15 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
     ``fread`` calls.  A final row per document (``dm_index = -1``)
     carries the batch-identical metrics JSON, after which the
     document's state is REMOVED — state is bounded by the in-flight
-    (not total) document count.  Strips redelivered after completion
-    (at-least-once sources) are ignored idempotently: mid-document
-    replays via the no-state-at-offset>0 heuristic, and — when
-    ``idle_timeout_ms`` is set — FULL offset-0 replays too, via a tiny
-    completed-doc tombstone (done flag, no halo buffer) kept for one
-    TTL window before the timeout evicts it.
+    (not total) document count.  At-least-once redelivery is handled
+    idempotently at every point in a document's life: duplicates of
+    IN-FLIGHT data (strips at or behind the consume cursor, including
+    re-striped overlaps) are skipped during ingestion, post-completion
+    replays of mid-document strips via the no-state-at-offset>0
+    heuristic, and — when ``idle_timeout_ms`` is set — FULL offset-0
+    replays too, via a tiny completed-doc tombstone (done flag, no
+    halo buffer) kept for one TTL window before the timeout evicts it.
+    Only a genuine GAP (an offset past the cursor: lost data) raises.
 
     On a long-running (continuous-trigger) deployment, additionally
     pass ``idle_timeout_ms``: a document that stalls mid-stream for
@@ -391,6 +407,28 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
                                "truncated": True}, sort_keys=True))],
                 columns=[f.name for f in DEDISP_OUT_SCHEMA])
             return
+        st = state.get if state.exists else None
+        if st is not None and st[7]:           # done flag
+            # Completed-doc tombstone (idle_timeout_ms mode): every
+            # strip of this doc arriving now is an at-least-once
+            # redelivery — including a FULL replay starting at
+            # offset 0, which the stateless offset!=0 heuristic
+            # below cannot catch (it would silently reprocess the
+            # whole document and emit duplicate output).  Checked
+            # BEFORE the pdf concat / plan setup — suppression must be
+            # O(1), not O(document size), and it depends only on the
+            # state flag.
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)   # re-arm TTL
+            else:
+                # Tombstone restored from a checkpoint into a
+                # NoTimeout run (e.g. a drained continuous deployment
+                # restarted as availableNow): it could never
+                # self-evict — drop it now.
+                state.remove()
+            yield pd.DataFrame(
+                [], columns=[f.name for f in DEDISP_OUT_SCHEMA])
+            return
         pdf = pd.concat(list(pdfs), ignore_index=True) \
             .sort_values("strip_offset")
         header, cfg_l, plan = _memo_plan(
@@ -401,21 +439,9 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
         # covers the setup, not just the shared block body.
         use_mask, shift_back, padvals, mask_args = block_loop_setup(plan)
 
-        if state.exists:
+        if st is not None:
             (isamp, nread, opos, buf, n_blocks, n_clipped, n_sk, done,
-             c_avg, c_std, c_chan, c_blocks) = state.get
-            if done:
-                # Completed-doc tombstone (idle_timeout_ms mode): every
-                # strip of this doc arriving now is an at-least-once
-                # redelivery — including a FULL replay starting at
-                # offset 0, which the stateless offset!=0 heuristic
-                # below cannot catch (it would silently reprocess the
-                # whole document and emit duplicate output).  Ignore
-                # and re-arm the tombstone's TTL.
-                state.setTimeoutDuration(idle_timeout_ms)
-                yield pd.DataFrame(
-                    [], columns=[f.name for f in DEDISP_OUT_SCHEMA])
-                return
+             c_avg, c_std, c_chan, c_blocks) = st
             buf = bytes(buf)
             clip_state = ClipState(np.float32(c_avg), np.float32(c_std),
                                    np.asarray(c_chan, dtype=np.float32),
@@ -446,11 +472,26 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
         parts = [buf]
         expected = isamp * nchan + len(buf)
         for r in pdf.itertuples(index=False):
-            if int(r.strip_offset) * nchan != expected:
+            off_b = int(r.strip_offset) * nchan
+            p = bytes(r.payload)
+            if off_b + len(p) <= expected:
+                # Entirely at-or-behind the consume cursor: an
+                # at-least-once duplicate of data already ingested
+                # (producer retry, or the same strip twice within one
+                # micro-batch).  Skip idempotently — raising here
+                # would poison the query on every checkpoint replay.
+                continue
+            if off_b < expected:
+                # Overlapping strip (a retry re-striped across the
+                # cursor): the prefix up to the cursor was already
+                # consumed — ingest only the unseen suffix.  Offsets
+                # are authoritative positions, so this is exact.
+                p = p[expected - off_b:]
+            elif off_b > expected:
+                # A GAP means lost data — that stays a loud error.
                 raise ValueError(
                     f"non-contiguous strip for {key[0]}: offset "
                     f"{r.strip_offset}, expected {expected // nchan}")
-            p = bytes(r.payload)
             parts.append(p)
             expected += len(p)
             nread += len(p) // nchan

@@ -479,3 +479,105 @@ def test_streaming_dedisperse_tombstone_suppresses_full_replay(
     for d_idx in range(want.shape[0]):
         assert got[d_idx] == np.ascontiguousarray(
             want[d_idx], dtype="<f4").tobytes()
+
+
+def test_streaming_dedisperse_skips_inflight_duplicates_and_overlaps(
+        spark, tmp_path):
+    """At-least-once duplicates of IN-FLIGHT data must not poison the
+    query: a strip delivered twice in one micro-batch (producer retry)
+    is skipped, and a retry re-striped ACROSS the consume cursor
+    contributes only its unseen suffix — output equals a clean
+    single-delivery run.  Only a genuine gap raises."""
+    import json
+
+    from dragnet_spark.generate import make_document, scenario_configs
+    from dragnet_spark.kernels import process_document
+    from dragnet_spark.plan import build_plan
+    from dragnet_spark.streaming import STRIP_SCHEMA, streaming_dedisperse
+
+    doc = make_document("tiny", 0)
+    header, data, _ = decode_document(doc["spans"])
+    cfg = scenario_configs("tiny")["s1"]
+    cfg.blocksize = 192
+    plan = build_plan(header, cfg, None)
+    want, metrics = process_document(data, plan)
+    hj = header.to_json()
+
+    def strip(a, b, off=None):
+        return (doc["doc_id"], hj, int(a if off is None else off),
+                np.ascontiguousarray(data[a:b]).tobytes())
+
+    d = tmp_path / "stream_dups"
+    d.mkdir()
+    # batch 1: [0,192) delivered TWICE in the same micro-batch
+    _write_strip_file(str(d / "000.parquet"),
+                      [strip(0, 192), strip(0, 192)])
+    # batch 2: a retry re-striped across the cursor — [96,512) overlaps
+    # the 192-sample cursor; only data[192:512] is unseen
+    _write_strip_file(str(d / "001.parquet"), [strip(96, 512)])
+    now = time.time()
+    os.utime(str(d / "000.parquet"), (now - 10, now - 10))
+    os.utime(str(d / "001.parquet"), (now + 5, now + 5))
+
+    stream = (spark.readStream.schema(STRIP_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (streaming_dedisperse(stream, cfg)
+         .writeStream.format("memory").queryName("dedisp_dups_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("dedisp_dups_test").collect()
+
+    mrows = [r for r in rows if r.dm_index == -1]
+    assert len(mrows) == 1
+    assert json.loads(mrows[0].metrics) == metrics
+    got: dict[int, bytes] = {}
+    for r in sorted((r for r in rows if r.dm_index >= 0),
+                    key=lambda r: (r.dm_index, r.block_seq)):
+        got[r.dm_index] = got.get(r.dm_index, b"") + bytes(r.series)
+    for d_idx in range(want.shape[0]):
+        assert got[d_idx] == np.ascontiguousarray(
+            want[d_idx], dtype="<f4").tobytes()
+
+
+def test_streaming_clipper_idle_timeout_emits_marker(spark, tmp_path):
+    """streaming_clipper's opt-in idle timeout: a stalled document's
+    EWMA entry is evicted with a MARKER row (block_id=-1, n_clipped=-1,
+    final running stats) so downstream can tell the recursion was
+    severed, and the state store ends empty."""
+    header, blocks = _blocks()
+    truth = _batch_truth(header, blocks[:2])
+
+    d = tmp_path / "clip_stall"
+    d.mkdir()
+    _write_block_file(str(d / "000.parquet"), blocks[:2])
+    # ...then the document stalls forever
+
+    stream = (spark.readStream
+              .schema(BLOCK_SCHEMA).parquet(str(d)))
+    q = (streaming_clipper(stream, CLIP_SIGMA, header.nchan,
+                           idle_timeout_ms=2000)
+         .writeStream.format("memory").queryName("clip_stall_test")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 120
+        marker = None
+        while time.time() < deadline and marker is None:
+            time.sleep(2)
+            for r in spark.table("clip_stall_test").collect():
+                if r.block_id == -1:
+                    marker = r
+        assert marker is not None, "idle-timeout marker never emitted"
+        states = [so for p in q.recentProgress
+                  for so in p["stateOperators"]]
+    finally:
+        q.stop()
+
+    assert marker.n_clipped == -1
+    # marker carries the final running stats of the severed recursion
+    assert marker.running_avg == truth[-1][3]
+    assert marker.running_std == truth[-1][4]
+    rows = [r for r in spark.table("clip_stall_test").collect()
+            if r.block_id >= 0]
+    assert sorted((r.block_id, r.n_clipped) for r in rows) == \
+        [(t[1], t[2]) for t in truth]
+    assert states[-1]["numRowsTotal"] == 0
