@@ -56,7 +56,8 @@ def read_documents(spark: SparkSession, source: str) -> DataFrame:
 
 
 def write_timeseries_partitioned(rows: DataFrame, sink: str,
-                                 mode: str = "overwrite") -> None:
+                                 mode: str = "overwrite",
+                                 dedupe: bool = False) -> None:
     """S9's file-scale mapping (SURVEY.md §2.1): the per-DM ``.dat``
     sink re-expressed as a DM-partitioned table write — one partition
     directory per DM trial (``dm=<%.3f>``), so a downstream single-DM
@@ -72,14 +73,48 @@ def write_timeseries_partitioned(rows: DataFrame, sink: str,
                   F.regexp_extract("media_ref", "^dm://(.*)$", 1)
                    .alias("dm"),
                   "text"))
+    if dedupe:
+        # A resumed spans table can hold a doc's series twice (a full
+        # re-append over a partially-committed earlier attempt);
+        # duplicates are bit-identical by determinism
+        # (one-out_dir-per-(config, mask)) — collapse by identity.
+        # Opt-in because it adds the ONLY exchange of this sink (a
+        # hash shuffle of every series byte): pass True when feeding
+        # from a resumed run_job output, leave False for a fresh
+        # single-pass pipeline result, which cannot contain
+        # duplicates.
+        ts = ts.dropDuplicates(["doc_id", "seq", "dm"])
     if sink.startswith(TABLE_PREFIX):
-        name = sink[len(TABLE_PREFIX):]
-        if mode == "overwrite":
-            ts.writeTo(name).partitionedBy(F.col("dm")).createOrReplace()
-        else:
-            ts.writeTo(name).append()
+        _write_table(ts, sink[len(TABLE_PREFIX):], mode,
+                     partition_col="dm")
         return
     ts.write.mode(mode).partitionBy("dm").parquet(sink)
+
+
+def _write_table(df: DataFrame, name: str, mode: str,
+                 partition_col: str | None = None) -> None:
+    """DataFrameWriterV2 with the same mode semantics the parquet
+    branch gets from DataFrameWriter: previously every non-overwrite
+    mode silently collapsed to append, so ``mode='error'`` — the guard
+    a caller uses against double-writing — appended duplicates on a
+    table sink while raising on a parquet path."""
+    w = df.writeTo(name)
+    if partition_col is not None:
+        w = w.partitionedBy(F.col(partition_col))
+    if mode == "overwrite":
+        w.createOrReplace()
+    elif mode == "append":
+        df.writeTo(name).append()       # partitioning fixed at create
+    elif mode in ("error", "errorifexists"):
+        w.create()                      # raises TableAlreadyExists
+    elif mode == "ignore":
+        try:
+            w.create()
+        except Exception as exc:        # TableAlreadyExistsException
+            if "exist" not in str(exc).lower():
+                raise
+    else:
+        raise ValueError(f"unsupported table write mode {mode!r}")
 
 
 def write_documents(df: DataFrame, sink: str, mode: str = "append") -> None:
@@ -93,10 +128,7 @@ def write_documents(df: DataFrame, sink: str, mode: str = "append") -> None:
                 "is on the classpath; add the iceberg-spark-runtime jar "
                 "and the spark.sql.catalog.* config (see dragnet_spark/io.py)"
                 " or pass a parquet path")
-        if mode == "overwrite":
-            df.writeTo(name).createOrReplace()
-        else:
-            df.writeTo(name).append()
+        _write_table(df, name, mode)
         return
     df.write.mode(mode).parquet(sink)
 

@@ -28,6 +28,7 @@ Execution shape (Spark-first; cf. SURVEY.md §7):
 from __future__ import annotations
 
 import base64
+import dataclasses
 import json
 import time
 from collections.abc import Iterator
@@ -124,6 +125,16 @@ def _cached_plan(header_json: str, cfg: RunConfig,
     key = (header_json, cfg.to_json(), mask.to_json() if mask else "")
     plan = _PLAN_CACHE.get(key)
     if plan is None:
+        if len(_PLAN_CACHE) >= 128:
+            # Bounded: real corpora give every document a distinct
+            # header (tstart/source differ per observation) and the
+            # chunked path adds per-chunk-length sub-plans, so on a
+            # long-lived executor an unbounded cache accumulates one
+            # (ndm x nchan) delay table per distinct key — gigabytes
+            # over 10^5+ docs.  Wholesale clear, same policy as
+            # streaming._PLAN_MEMO: far above any per-task variety,
+            # and rebuilding a plan is milliseconds.
+            _PLAN_CACHE.clear()
         plan = build_plan(Header.from_json(header_json), cfg, mask)
         _PLAN_CACHE[key] = plan
     return plan
@@ -174,9 +185,22 @@ def _media_list(media_json: str | None) -> list[dict]:
     return json.loads(media_json)
 
 
+def _mask_fingerprint(mask: MaskSpec | None) -> str:
+    """Content hash of the mask actually applied, recorded in every
+    metrics row: resume's done-marker cannot trust (run_id, config_id)
+    alone, since rerunning the same ids with a DIFFERENT mask file
+    would otherwise silently skip documents computed under the old
+    mask and mix two masks' outputs in one spans table."""
+    import hashlib
+    if mask is None:
+        return "none"
+    return hashlib.md5(mask.to_json().encode()).hexdigest()[:12]
+
+
 def _metrics_row(doc_id: str, metrics: dict, n_spans_out: int,
                  wall_ms: float, run_id: str, cfg: RunConfig,
-                 chunk_id: int = 0, n_chunks: int = 1) -> dict:
+                 chunk_id: int = 0, n_chunks: int = 1,
+                 mask_hash: str = "none") -> dict:
     from pyspark import TaskContext
     tc = TaskContext.get()
     payload = dict(metrics)
@@ -185,7 +209,7 @@ def _metrics_row(doc_id: str, metrics: dict, n_spans_out: int,
         "chunk_id": chunk_id, "n_chunks": n_chunks,
         "n_spans_out": n_spans_out, "wall_ms": round(wall_ms, 3),
         "partition_id": tc.partitionId() if tc else -1,
-        "code_version": __version__,
+        "code_version": __version__, "mask_hash": mask_hash,
     })
     return {"doc_id": doc_id, "seq": -1, "kind": "metrics",
             "text": json.dumps(payload, sort_keys=True),
@@ -213,6 +237,13 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
                     pdf["doc_id"], pdf["header"], pdf["sample_offsets"],
                     pdf["sample_bins"], pdf["media"]):
                 t0 = time.perf_counter()
+                if hjson is None:
+                    # Mirror decode_document's validation: without this
+                    # a header-less document surfaces as an opaque
+                    # TypeError deep inside Header.from_json after N
+                    # task retries.
+                    raise ValueError(
+                        f"document {doc_id!r} has no header span")
                 plan = _cached_plan(hjson, cfg_l, mask_l)
                 data = _decode_payload(bins, offsets, plan.header)
                 out, metrics = process_document(data, plan)
@@ -233,7 +264,8 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
                 rows.append({**_metrics_row(
                     doc_id, {**metrics, "n_dms": len(out)},
                     len(spans),
-                    (time.perf_counter() - t0) * 1e3, run_id, cfg_l),
+                    (time.perf_counter() - t0) * 1e3, run_id, cfg_l,
+                    mask_hash=_mask_fingerprint(mask_l)),
                     "payload": None})
             yield pd.DataFrame(rows,
                                columns=[f.name for f in _RAW_SPAN_SCHEMA])
@@ -310,14 +342,13 @@ def _chunk_split_exprs(bounds_col, nchan_col):
     return F.transform(bounds_col, per_bound)
 
 
-def build_chunk_rows(prepared: DataFrame, cfg_json: str,
-                     mask_json: str | None,
-                     blocks_per_chunk: int) -> DataFrame:
-    """Split stage of the chunked path: prepared documents -> one row
-    per halo-extended chunk, entirely JVM-side (see
-    :func:`_chunk_split_exprs`).  The only Python in this stage is the
-    ``bounds_of`` pandas UDF, whose input is the header JSON alone — a
-    few hundred bytes per document, never the sample payload."""
+def _bounds_udf(cfg_json: str, mask_json: str | None,
+                blocks_per_chunk: int):
+    """Pandas UDF computing each document's chunk [start, end) bounds
+    from the header JSON alone — a few hundred bytes per document,
+    never the sample payload.  Shared by :func:`build_chunk_rows`
+    (the real split) and :func:`chunk_keys` (the key-only plan the
+    resume counters run on)."""
 
     @F.pandas_udf(ArrayType(ArrayType(LongType())))
     def bounds_of(headers: pd.Series) -> pd.Series:
@@ -325,6 +356,8 @@ def build_chunk_rows(prepared: DataFrame, cfg_json: str,
         mask_l = MaskSpec.from_json(mask_json) if mask_json else None
 
         def one(hjson: str) -> list[list[int]]:
+            if hjson is None:
+                raise ValueError("document has no header span")
             plan = _cached_plan(hjson, cfg_l, mask_l)
             sbr = plan.max_delay * cfg_l.ndec
             return [[int(s), int(e)] for s, e in _chunk_bounds(
@@ -332,9 +365,37 @@ def build_chunk_rows(prepared: DataFrame, cfg_json: str,
 
         return headers.map(one)
 
+    return bounds_of
+
+
+def chunk_keys(prepared: DataFrame, cfg_json: str, mask_json: str | None,
+               blocks_per_chunk: int) -> DataFrame:
+    """The (doc_id, chunk_id) key set of the chunked split WITHOUT the
+    payload slicing: headers only, so Catalyst prunes the sample
+    columns from the scan and counting the keys costs a metadata-scale
+    pass instead of a full substr split of every sample strip."""
+    b = _bounds_udf(cfg_json, mask_json, blocks_per_chunk)
+    return (prepared
+            .withColumn("bounds", b(F.col("header")))
+            .select("doc_id",
+                    F.explode(F.sequence(
+                        F.lit(0), F.size("bounds") - 1))
+                     .alias("chunk_id"))
+            .select("doc_id",
+                    F.col("chunk_id").cast("int").alias("chunk_id")))
+
+
+def build_chunk_rows(prepared: DataFrame, cfg_json: str,
+                     mask_json: str | None,
+                     blocks_per_chunk: int) -> DataFrame:
+    """Split stage of the chunked path: prepared documents -> one row
+    per halo-extended chunk, entirely JVM-side (see
+    :func:`_chunk_split_exprs`).  The only Python in this stage is the
+    bounds UDF (:func:`_bounds_udf`)."""
     nchan = F.get_json_object("header", "$.nchan").cast("long")
     return (prepared
-            .withColumn("bounds", bounds_of(F.col("header")))
+            .withColumn("bounds", _bounds_udf(
+                cfg_json, mask_json, blocks_per_chunk)(F.col("header")))
             .select("doc_id", "header", "media",
                     F.size("bounds").cast("int").alias("n_chunks"),
                     F.explode(_chunk_split_exprs(F.col("bounds"), nchan))
@@ -350,8 +411,15 @@ def build_chunk_rows(prepared: DataFrame, cfg_json: str,
                      .alias("media")))
 
 
-def _require_chunkable(cfg: RunConfig) -> None:
-    if cfg.clip_sigma > 0.0 and cfg.use_mask:
+def _require_chunkable(cfg: RunConfig, mask: MaskSpec | None) -> None:
+    """Refuse configs whose clipper would actually RUN: the EWMA is
+    sequential per document, so chunks cannot be processed
+    independently.  Clipping executes only when a mask is supplied
+    AND ``use_mask`` AND ``clip_sigma > 0`` (kernels.apply_mask is
+    gated on ``use_mask and plan.mask is not None``) — a clip-enabled
+    cfg with ``mask=None`` never clips and is processed bit-identically
+    by the chunked path, so it is accepted."""
+    if cfg.clip_sigma > 0.0 and cfg.use_mask and mask is not None:
         raise ValueError("chunked path requires clip_sigma == 0 "
                          "(clipper EWMA is sequential per document)")
 
@@ -395,6 +463,20 @@ def process_chunk_rows(chunks: DataFrame, cfg_json: str,
                 sub_h = Header(**{**json.loads(r.header),
                                   "nsamp": data.shape[0]})
                 sub_plan = _cached_plan(sub_h.to_json(), cfg_l, mask_l)
+                if sub_plan.blocksize != doc_plan.blocksize:
+                    # build_plan clamps blocksize to nsamp, so a final
+                    # chunk shorter than one block gets a smaller
+                    # sk_mint — but the doc path processes that same
+                    # region as a short block of the FULL-blocksize
+                    # grid, counting the past-the-end SK intervals
+                    # (mact=0 => masked, skz.c:464-466) into
+                    # n_sk_masked_intervals.  Carry the document grid
+                    # into the sub-plan so chunked metrics equal the
+                    # per-document metrics (series were already
+                    # identical either way).
+                    sub_plan = dataclasses.replace(
+                        sub_plan, blocksize=doc_plan.blocksize,
+                        sk_mint=doc_plan.sk_mint)
                 fvec = (doc_plan.dt_factors
                         if cfg_l.use_dt and len(doc_plan.dt_factors) else None)
                 # Mask offsets are absolute: shift the sub-plan's view by
@@ -462,7 +544,8 @@ def process_chunk_rows(chunks: DataFrame, cfg_json: str,
                                     n_emitted,
                                     (time.perf_counter() - t0) * 1e3,
                                     run_id, cfg_l, int(r.chunk_id),
-                                    int(r.n_chunks))
+                                    int(r.n_chunks),
+                                    mask_hash=_mask_fingerprint(mask_l))
                 rows.append({"doc_id": r.doc_id, "chunk_id": int(r.chunk_id),
                              "n_chunks": int(r.n_chunks),
                              "dm_index": 1 << 30, "dt_factor": 1,
@@ -535,7 +618,7 @@ def run_pipeline_chunked(df: DataFrame, cfg: RunConfig,
     (D5) runs on the reassembled full series, so chunk boundaries never
     land inside a scrunch group.  Bit-identical to :func:`run_pipeline`.
     """
-    _require_chunkable(cfg)
+    _require_chunkable(cfg, mask)
     cfg_json = cfg.to_json()
     mask_json = mask.to_json() if mask else None
     chunks = build_chunk_rows(prepare_documents(df), cfg_json, mask_json,
@@ -561,11 +644,21 @@ def _process_chunk(data: np.ndarray, sub_plan: DedispPlan,
 def nest_spans(rows: DataFrame) -> DataFrame:
     """Re-nest exploded span rows to the mandated output table shape
     ``(doc_id, spans array<struct>)`` — one shuffle, used only when the
-    nested shape is required downstream."""
+    nested shape is required downstream.
+
+    Duplicate-resilient: resume can legitimately re-append a
+    document's full span set on top of a partially-committed earlier
+    attempt (the metrics/series rows of one doc come from different
+    tasks under a task-commit committer), and the duplicates are
+    bit-identical by determinism under the one-out_dir-per-(config,
+    mask) contract — ``collect_set`` collapses them INSIDE the one
+    existing aggregation exchange (a ``dropDuplicates`` first would
+    add a second full shuffle of the series bytes just to feed this
+    group-by)."""
     return (rows.where(F.col("kind") != "metrics")
             .groupBy("doc_id")
             .agg(F.transform(
-                F.array_sort(F.collect_list(
+                F.array_sort(F.collect_set(
                     F.struct("seq", "kind", "text", "media_ref", "offset"))),
                 lambda s: F.struct(s.kind.alias("kind"), s.text.alias("text"),
                                    s.media_ref.alias("media_ref"),
@@ -608,23 +701,33 @@ def _run_job_chunked(spark: SparkSession, docs: DataFrame, cfg: RunConfig,
     doc-level resume anti-join additionally validates series
     completeness (all-chunks metrics + >= n_dms distinct timeseries
     offsets) before trusting a metrics row as a doc-done marker."""
-    _require_chunkable(cfg)
+    _require_chunkable(cfg, mask)
     cfg_json = cfg.to_json()
     mask_json = mask.to_json() if mask else None
     chunks_path = f"{out_dir}/chunks/{run_id}/{cfg.config_id}"
-    chunk_rows = build_chunk_rows(prepare_documents(docs), cfg_json,
-                                  mask_json, blocks_per_chunk)
+    prepared = prepare_documents(docs)
+    chunk_rows = build_chunk_rows(prepared, cfg_json, mask_json,
+                                  blocks_per_chunk)
     todo, n_todo, n_chunks_skipped = chunk_rows, None, 0
     if resume:
         try:
             done = (spark.read.parquet(chunks_path)
                     .where(F.col("kind") == "metrics")
                     .select("doc_id", "chunk_id").distinct())
-            n_total = chunk_rows.count()
+            # Counters run on the KEY-ONLY plan (headers -> bounds ->
+            # chunk ids, :func:`chunk_keys`): counting chunk_rows
+            # itself would execute the heavy substr split of every
+            # sample strip once per count, tripling the most expensive
+            # pre-shuffle stage of a resumed job just to fill two
+            # numbers.
+            keys = chunk_keys(prepared, cfg_json, mask_json,
+                              blocks_per_chunk)
+            n_total = keys.count()
+            n_chunks_skipped = keys.join(
+                done, ["doc_id", "chunk_id"], "left_semi").count()
+            n_todo = n_total - n_chunks_skipped
             todo = chunk_rows.join(done, ["doc_id", "chunk_id"],
                                    "left_anti")
-            n_todo = todo.count()
-            n_chunks_skipped = n_total - n_todo
         except Exception:
             pass                        # no chunks table yet: compute all
     if n_todo is None or n_todo > 0:
@@ -692,6 +795,22 @@ def run_job(spark: SparkSession, docs: DataFrame | str, cfg: RunConfig,
                     .where(F.get_json_object("text", "$.config_id")
                            == cfg.config_id))
             spans_readable = True
+            # (run_id, config_id) alone cannot prove the prior results
+            # were computed under THIS mask: a rerun with a different
+            # mask file would silently skip old-mask docs and mix two
+            # masks' series in one table (series rows carry no tag).
+            # Any same-ids metrics row with a different — or missing,
+            # pre-field — mask fingerprint fails loudly instead.
+            mh = _mask_fingerprint(mask)
+            if (meta.where(F.coalesce(
+                    F.get_json_object("text", "$.mask_hash"),
+                    F.lit("<missing>")) != mh).limit(1).count()):
+                raise LedgerValidationError(
+                    f"out_dir already holds results for run_id="
+                    f"{run_id!r}, config_id={cfg.config_id!r} computed "
+                    "under a DIFFERENT mask (or by a pre-mask_hash "
+                    "version).  Use a fresh --out directory (one "
+                    "out_dir per (config, mask)).")
             if chunked:
                 # Chunked reassembly is NOT task-atomic per document: a
                 # doc's chunk metrics rows and its reassembled series
@@ -803,6 +922,12 @@ def run_job(spark: SparkSession, docs: DataFrame | str, cfg: RunConfig,
                  .alias("partition_id"),
                 F.get_json_object("m", "$.code_version")
                  .alias("code_version")))
+    # A crash-resume cycle can append a second metrics row for the same
+    # (doc, chunk) — identical but for wall_ms/partition_id.  The
+    # checkpoint is a status table, not an attempt log: one row per
+    # unit of work.
+    ckpt = ckpt.dropDuplicates(["run_id", "config_id", "doc_id",
+                                "chunk_id"])
     ckpt.write.mode("overwrite").parquet(ckpt_path)
     return {"n_input": n_input, "n_skipped": n_skipped,
             "n_processed": n_remaining, **stats}

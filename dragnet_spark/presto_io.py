@@ -69,8 +69,17 @@ def read_mask_bytes(buf: bytes, mask_id: str = "mask-binary") -> MaskSpec:
         elif n == numchan:
             # all-channels-bad expansion (mask.c:289-294)
             chans_per_int.append(list(range(numchan)))
-        else:
+        elif n == 0:
             chans_per_int.append([])
+        else:
+            # n < 0 or n > numchan can only come from a truncated /
+            # corrupt file (or a numchan disagreeing with the interval
+            # lists).  Swallowing it as [] would desynchronize every
+            # later take() and return a structurally valid but GARBAGE
+            # mask that silently zaps wrong channels — fail at load.
+            raise ValueError(
+                f"corrupt rfifind mask: per-interval channel count {n} "
+                f"outside [0, numchan={numchan}]")
     return MaskSpec(mask_id=mask_id, numchan=numchan, numint=numint,
                     ptsperint=ptsperint, zap_chans=zap_chans,
                     zap_ints=zap_ints, chans_per_int=chans_per_int,
@@ -195,9 +204,21 @@ def export_presto_files(rows, out_dir: str, prefix: str = "test") -> int:
     from pyspark.sql import functions as F
 
     sel = (rows.where(F.col("kind").isin("timeseries", "inf"))
-           .select("doc_id", "kind", "text", "media_ref"))
+           .select("doc_id", "kind", "text", "media_ref")
+           # Resume can re-append a doc's spans over a partial earlier
+           # attempt (identical rows by determinism) — dedupe so the
+           # export writes and counts each file once.
+           .dropDuplicates(["doc_id", "kind", "media_ref"]))
     count = 0
     for r in sel.toLocalIterator():
+        # doc_id is joined into a filesystem path: nothing upstream
+        # constrains it to path-safe characters, so a doc_id like
+        # '../x' or 'a/b' would escape out_dir (or scatter nested
+        # trees) on the driver host.
+        if (os.sep in r.doc_id or (os.altsep and os.altsep in r.doc_id)
+                or r.doc_id in ("", ".", "..")):
+            raise ValueError(f"doc_id {r.doc_id!r} is not a safe "
+                             "directory name for file export")
         doc_dir = os.path.join(out_dir, r.doc_id)
         os.makedirs(doc_dir, exist_ok=True)
         if r.kind == "timeseries":

@@ -447,3 +447,116 @@ def test_chunked_resume_rejects_pre_n_dms_ledger(spark, tmp_path):
     with pytest.raises(LedgerValidationError, match="n_dms"):
         run_job(spark, df, cfg, None, out, run_id="r1", chunked=True,
                 blocks_per_chunk=1)
+
+
+def test_chunked_accepts_clip_config_without_mask(spark):
+    """A clip-enabled cfg with NO mask never clips (apply_mask is gated
+    on use_mask AND a mask being present), so the chunked path must
+    accept it and produce bit-identical output; WITH a mask it must
+    still refuse (the clipper EWMA is sequential per document)."""
+    docs, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")["s2"]       # use_mask=True, clip>0
+    got = _collect_sequences(run_pipeline_chunked(df, cfg, None,
+                                                  blocks_per_chunk=2))
+    want = _collect_sequences(run_pipeline(df, cfg, None))
+    assert got == want
+    with pytest.raises(ValueError, match="clip_sigma == 0"):
+        run_pipeline_chunked(df, cfg, make_mask("tiny"))
+
+
+def test_chunked_short_final_chunk_sk_metrics_parity(spark):
+    """A final chunk shorter than one blocksize used to get a CLAMPED
+    sub-plan (blocksize -> chunk nsamp, smaller sk_mint), so the
+    past-the-end SK intervals the per-document path counts as masked
+    (mact=0 => NaN => masked, skz.c:464-466) vanished from the chunked
+    n_sk_masked_intervals.  Series were identical; only the metric
+    diverged.  Pin: both paths now agree on a doc whose tail chunk is
+    16 samples of a 192-sample grid."""
+    import json
+
+    from dragnet_spark.params import Header
+    from dragnet_spark.spans import decode_document, encode_document
+
+    docs, _ = _docs_df(spark, "tiny")
+    header, data, _media = decode_document(docs[0]["spans"])
+    data = data[:400]
+    h2 = Header(**{**json.loads(header.to_json()), "nsamp": 400})
+    df = docs_to_df(spark, [encode_document(docs[0]["doc_id"], h2, data,
+                                            media=[])])
+    cfg = scenario_configs("tiny")["s3"]
+    cfg.use_skz, cfg.clip_sigma, cfg.blocksize = True, 0.0, 192
+    cfg.dm_start, cfg.dm_end, cfg.dm_step = 0.0, 0.0, 1.0  # max_delay=0
+
+    def sk_total(rows):
+        return sum(json.loads(r.text)["n_sk_masked_intervals"]
+                   for r in rows.where(F.col("kind") == "metrics")
+                   .collect())
+
+    assert (sk_total(run_pipeline_chunked(df, cfg, None,
+                                          blocks_per_chunk=1))
+            == sk_total(run_pipeline(df, cfg, None)))
+
+
+def test_run_job_resume_refuses_different_mask(spark, tmp_path):
+    """(run_id, config_id) alone cannot prove prior results were
+    computed under THIS mask: resuming the same ids with a different
+    mask file must fail loudly instead of silently skipping old-mask
+    docs and mixing two masks' series in one spans table."""
+    import dataclasses
+
+    from dragnet_spark.pipeline import LedgerValidationError
+
+    docs, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")["s4"]       # use_mask, no clip
+    mask_a = make_mask("tiny")
+    out = str(tmp_path / "out")
+    run_job(spark, df, cfg, mask_a, out, run_id="r1")
+
+    # same mask: resumes cleanly, all docs skipped
+    r2 = run_job(spark, df, cfg, mask_a, out, run_id="r1")
+    assert r2["n_processed"] == 0 and r2["n_skipped"] == len(docs)
+
+    mask_b = dataclasses.replace(mask_a, zap_chans=[0])
+    with pytest.raises(LedgerValidationError, match="DIFFERENT mask"):
+        run_job(spark, df, cfg, mask_b, out, run_id="r1")
+
+
+def test_nest_spans_collapses_resume_duplicates(spark):
+    """A resumed spans table can hold a document's span rows twice
+    (full re-append over a partially-committed attempt); nest_spans
+    must produce the same nested arrays as from a clean single copy —
+    deduped inside the one aggregation exchange, not via an extra
+    shuffle."""
+    _docs, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")["s0"]
+    rows = run_pipeline(df, cfg, None)
+    clean = {r.doc_id: r.spans for r in nest_spans(rows).collect()}
+    doubled = {r.doc_id: r.spans
+               for r in nest_spans(rows.unionByName(rows)).collect()}
+    assert doubled == clean
+
+
+def test_chunk_keys_plan_skips_payload_slicing(spark):
+    """The resume counters run on chunk_keys, a header-only plan: its
+    optimized plan must not contain the substr payload slicing that
+    makes build_chunk_rows expensive (counting THAT plan executed the
+    full split once per counter)."""
+    from dragnet_spark.pipeline import (build_chunk_rows, chunk_keys,
+                                        prepare_documents)
+
+    _docs, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")["s0"]
+    prepared = prepare_documents(df)
+    old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+    try:
+        keys_plan = chunk_keys(prepared, cfg.to_json(), None, 2) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        rows_plan = build_chunk_rows(prepared, cfg.to_json(), None, 2) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", old)
+    assert "substr(" in rows_plan          # the heavy payload slicing
+    assert "sample_bins" in rows_plan
+    assert "substr(" not in keys_plan      # keys: header bounds only
+    assert "sample_bins" not in keys_plan

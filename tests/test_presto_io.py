@@ -136,3 +136,54 @@ def test_export_presto_files(spark, tmp_path):
 def test_read_mask_file_sets_id_from_root(tmp_path):
     write_mask_file(str(tmp_path / "scan7.mask"), _spec())
     assert read_mask_file(str(tmp_path / "scan7.mask")).mask_id == "scan7"
+
+
+def test_read_mask_bytes_rejects_corrupt_interval_count():
+    """An out-of-range per-interval channel count (truncated/corrupt
+    file) used to be swallowed as an empty list, desynchronizing every
+    later read and returning a structurally valid but garbage mask
+    that silently zapped wrong channels — it must fail at load."""
+    import pytest
+    import struct
+
+    buf = bytearray(write_mask_bytes(_spec()))
+    # num_per_int block sits right after the two zap lists; patch the
+    # first interval's count to numchan+1 (9 > numchan=8)
+    base = 6 * 8 + 3 * 4                       # 6 doubles + 3 ints
+    base += 4 + 2 * 4                          # n_zap_chans + 2 entries
+    base += 4 + 1 * 4                          # n_zap_ints + 1 entry
+    struct.pack_into("<i", buf, base, 9)
+    with pytest.raises(ValueError, match="corrupt rfifind mask"):
+        read_mask_bytes(bytes(buf), mask_id="m")
+
+
+def test_export_presto_files_rejects_path_escaping_doc_id(spark, tmp_path):
+    """doc_id is joined into the export path; a doc_id containing a
+    path separator or '..' must raise instead of writing outside
+    out_dir on the driver host."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.pipeline import docs_to_df, run_pipeline
+
+    docs = make_corpus("tiny")[:1]
+    docs[0]["doc_id"] = "../escape"
+    rows = run_pipeline(docs_to_df(spark, docs),
+                        scenario_configs("tiny")["s0"], None)
+    with pytest.raises(ValueError, match="not a safe"):
+        export_presto_files(rows, str(tmp_path / "out"), prefix="t")
+
+
+def test_export_presto_files_dedupes_resume_duplicates(spark, tmp_path):
+    """A resumed spans table can hold a doc's rows twice; the export
+    must write and count each file once."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.pipeline import docs_to_df, run_pipeline
+
+    docs = docs_to_df(spark, make_corpus("tiny")[:1])
+    rows = run_pipeline(docs, scenario_configs("tiny")["s0"], None)
+    n1 = export_presto_files(rows, str(tmp_path / "o1"), prefix="t")
+    n2 = export_presto_files(rows.unionByName(rows),
+                             str(tmp_path / "o2"), prefix="t")
+    assert n1 == n2 == 22
