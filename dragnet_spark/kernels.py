@@ -237,23 +237,25 @@ def clip_times(rawdata: np.ndarray, clip_sigma: float,
     if state.chan_running_avg.size != numchan:
         state.chan_running_avg = np.zeros(numchan, dtype=np.float32)
 
-    # Zero-DM series (A1, mask.c:582-588): float32 channel sum
-    zero_dm = rawdata.sum(axis=1, dtype=np.float32)
-    current_avg, var = avg_var(zero_dm)
+    # Zero-DM series: THE module's A1 reduction (one definition — the
+    # oracle/pipeline bit-parity argument rests on a single shared
+    # implementation of the mask.c:582-588 sum).
+    zdm = zero_dm(rawdata)
+    current_avg, var = avg_var(zdm)
     current_std = float(np.sqrt(var))
-    current_med = median_lower(zero_dm)
+    current_med = median_lower(zdm)
 
     # Robust re-estimate over points within median +/- 3*std (mask.c:597-627)
     lo_cutoff = np.float32(current_med - 3.0 * current_std)
     hi_cutoff = np.float32(current_med + 3.0 * current_std)
-    good = (zero_dm > lo_cutoff) & (zero_dm < hi_cutoff)
+    good = (zdm > lo_cutoff) & (zdm < hi_cutoff)
     numgoodpts = int(good.sum())
     if numgoodpts < 1:                              # mask.c:617-621
         current_avg = float(state.running_avg)
         current_std = float(state.running_std)
         chan_avg_temp = state.chan_running_avg.astype(np.float64)
     else:
-        current_avg, var = avg_var(zero_dm[good])
+        current_avg, var = avg_var(zdm[good])
         current_std = float(np.sqrt(var))
         chan_avg_temp = (rawdata[good].sum(axis=0, dtype=np.float64)
                          / numgoodpts)
@@ -275,7 +277,7 @@ def clip_times(rawdata: np.ndarray, clip_sigma: float,
     # Clip (mask.c:645-669)
     trigger = np.float32(clip_sigma) * state.running_std
     good_chan_levels[:] = state.chan_running_avg       # mask.c:654-656
-    bad = np.abs(zero_dm - state.running_avg) > trigger
+    bad = np.abs(zdm - state.running_avg) > trigger
     clipped = int(bad.sum())
     if clipped:
         rawdata[bad] = good_chan_levels                 # whole-row replace
@@ -328,15 +330,26 @@ def compute_sk_mask(z: np.ndarray, my: int, m: int, nd: float,
     ny, nx = z.shape
     navg = 5
 
-    # --- Estimator (skz.c:460-480): s1, s2, mact per (interval, channel)
-    zpad = np.zeros((my * m, nx), dtype=np.float64)
-    zpad[:min(ny, my * m)] = z[:my * m].astype(np.float64)
-    zb = zpad.reshape(my, m, nx)
-    s1 = zb.sum(axis=1)
-    s2 = (zb * zb).sum(axis=1)
+    # --- Estimator (skz.c:460-480): s1, s2, mact per (interval, channel).
+    # Per-interval float64 scratch instead of a whole-block float64
+    # copy: the old zpad + (zb*zb) pair tripled the hot path's peak
+    # memory (a 256 MB float32 block allocated >1 GB of transients per
+    # concurrent task).  Reducing each (m, nx) interval separately
+    # performs the IDENTICAL pairwise float64 sum over the identical
+    # element order (axis-1 reduction of the (my, m, nx) view is
+    # per-interval already), so s1/s2 are bit-equal to the old form.
+    s1 = np.empty((my, nx), dtype=np.float64)
+    s2 = np.empty((my, nx), dtype=np.float64)
+    blk = np.zeros((m, nx), dtype=np.float64)
     mact = np.zeros((my, 1), dtype=np.float64)
     for j in range(my):
-        mact[j, 0] = max(0, min(ny - j * m, m))
+        n_act = max(0, min(ny - j * m, m))
+        mact[j, 0] = n_act
+        if n_act < m:
+            blk[:] = 0.0                   # zero-pad the tail interval
+        blk[:n_act] = z[j * m:j * m + n_act].astype(np.float64)
+        s1[j] = blk.sum(axis=0)
+        s2[j] = (blk * blk).sum(axis=0)
     with np.errstate(divide="ignore", invalid="ignore"):
         sk = (mact * nd + 1.0) / (mact - 1.0) * (mact * s2 / (s1 * s1) - 1.0)
     masked = (sk < skmin) | (sk > skmax) | np.isnan(sk)

@@ -386,6 +386,18 @@ def build_plan(header: Header, cfg: RunConfig,
     ``blocksize % ndec == 0`` and ``blocksize//ndec > max_delay``;
     for ndec==1 this is bit-identical to the reference.
     """
+    if header.foff >= 0:
+        # delay_table/dedisperse assume the SIGPROC high-first
+        # convention (fch1 = highest frequency, foff < 0).  A legal
+        # low-first .fil would otherwise produce negative delays and
+        # crash with an inscrutable broadcast error deep inside
+        # mapInPandas; fail at plan time with the real cause.  (LOFAR
+        # low-first inputs are converted at ingest: lofar_hdf5 emits
+        # foff < 0 and the channel REVERSAL is handled separately via
+        # header.chan_order.)
+        raise ValueError(
+            f"foff must be negative (fch1 = highest frequency, "
+            f"SIGPROC high-first convention); got {header.foff}")
     ndec = cfg.ndec
     tsamp_dec = header.tsamp * ndec
     nsamp_dec = header.nsamp // ndec

@@ -173,11 +173,10 @@ def read_filterbank(src: str | bytes) -> tuple[Header, np.ndarray]:
     else:
         with open(src, "rb") as fh:
             buf = fh.read()
+    # nif/nbit/nchan validation happens INSIDE parse_sigproc_header
+    # (it must precede the nsamp inference) — no second copy here that
+    # could silently diverge from it.
     h, headersize = parse_sigproc_header(buf)
-    if h.nif != 1:
-        raise ValueError(f"Wrong number of polarizations ({h.nif}, not 1)")
-    if h.nbit != 8:
-        raise ValueError(f"Wrong bit depth ({h.nbit}, not 8)")
     payload = buf[headersize:headersize + h.nsamp * h.nchan]
     data = np.frombuffer(payload, dtype=np.uint8).reshape(h.nsamp, h.nchan)
     return h, data
@@ -226,6 +225,7 @@ def ingest_filterbank(spark, path: str):
     story — the ingest itself stays one-file-one-task.
     """
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from .pipeline import DOCS_SCHEMA
     from .spans import encode_document
@@ -233,6 +233,24 @@ def ingest_filterbank(spark, path: str):
     files = (spark.read.format("binaryFile")
              .load(path)
              .select("path", "content"))
+
+    # doc_id = basename root, so same-named files in different
+    # directories (data/*/beam0.fil) would silently collide into ONE
+    # doc_id and merge two observations' spans into a corrupt
+    # document.  One metadata-only pass over the listing (content
+    # column pruned) fails loudly instead.
+    dup = (files
+           .select(F.regexp_replace(
+               F.element_at(F.split("path", "/"), -1),
+               r"\.[^.]*$", "").alias("doc_id"))
+           .groupBy("doc_id").count()
+           .where(F.col("count") > 1)
+           .limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"multiple input files share the basename-derived doc_id "
+            f"{dup[0]['doc_id']!r}; doc_ids must be unique — rename "
+            "the files or ingest the directories separately")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

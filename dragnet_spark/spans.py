@@ -239,7 +239,13 @@ def span_sequence_hash(spans: list[dict]) -> str:
     h = hashlib.sha256()
     for s in spans:
         for fieldval in (s["kind"], s["text"], s["media_ref"]):
-            h.update(fieldval.encode("utf-8"))
-            h.update(b"\x00")
+            b = fieldval.encode("utf-8")
+            # Length-prefixed: a bare separator byte would let two
+            # different sequences collide when a field itself contains
+            # the separator (('a', '\x00b') vs ('a\x00', 'b')) —
+            # precisely the false-equal a golden-pin hash must never
+            # report.
+            h.update(len(b).to_bytes(8, "little"))
+            h.update(b)
         h.update(b"\x01")
     return h.hexdigest()

@@ -144,3 +144,24 @@ def test_generator_pulse_is_injected():
     c_bad = h.nchan // 4
     cols = [c for c in range(h.nchan) if c != c_bad]
     assert (data[h.nsamp // 2][cols] == 200).all()
+
+
+def test_build_plan_rejects_positive_foff():
+    """delay_table/dedisperse assume the SIGPROC high-first convention
+    (fch1 = highest frequency, foff < 0); a legal low-first .fil must
+    fail at plan time with the real cause, not as a broadcast error
+    deep inside an executor."""
+    h = corpus_header("tiny", nsamp=64)
+    h.foff = abs(h.foff)
+    with pytest.raises(ValueError, match="foff must be negative"):
+        build_plan(h, RunConfig(config_id="t"), None)
+
+
+def test_span_sequence_hash_is_injection_safe():
+    """Field values containing the old separator byte must not let two
+    different sequences hash equal (('a', '\\x00b') vs ('a\\x00', 'b'))
+    — a golden-pin hash that reports false equality would mask a real
+    divergence."""
+    a = [{"kind": "media", "text": "a", "media_ref": "\x00b", "offset": 0}]
+    b = [{"kind": "media", "text": "a\x00", "media_ref": "b", "offset": 0}]
+    assert span_sequence_hash(a) != span_sequence_hash(b)

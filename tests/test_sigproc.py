@@ -154,3 +154,20 @@ def test_spark_ingest_matches_generator_encoding(spark, tmp_path):
     out = run_pipeline(df, scenario_configs("tiny")["s0"], None)
     n = out.where(F.col("kind") == "timeseries").count()
     assert n == 11  # one series span per DM trial
+
+
+def test_ingest_rejects_colliding_basenames(spark, tmp_path):
+    """Same-named .fil files in different directories would silently
+    collide into one doc_id (basename-derived) and merge two
+    observations' spans into one corrupt document — ingest must refuse
+    up front."""
+    import pytest
+
+    doc = make_document("tiny", 1)
+    header, data, _media = decode_document(doc["spans"])
+    for sub in ("beamA", "beamB"):
+        (tmp_path / sub).mkdir()
+        write_filterbank(str(tmp_path / sub / "obs.fil"), header, data)
+
+    with pytest.raises(ValueError, match="share the basename"):
+        ingest_filterbank(spark, str(tmp_path / "*" / "obs.fil"))
