@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     # Load the sf0.001 tables (smoke: the engine reads the driver corpus)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    assert docs.limit(1).count() >= 0
+    assert docs.limit(1).count() >= 1, "driver corpus is empty"
     return _flagship_rows(spark)
 
 
@@ -64,6 +64,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = \
         dict(FLAGSHIP_QUERIES)
+    # The two families must be DISJOINT: queries() would resolve a
+    # name collision toward QUERIES while oracle_sql() resolves toward
+    # the flagship oracles — the gate would then check a query against
+    # the other family's oracle, and the <=50 assert cannot catch it
+    # (a collision lowers the count).
+    overlap = set(FLAGSHIP_QUERIES) & set(QUERIES)
+    assert not overlap, f"query name collision across families: {overlap}"
     out.update(QUERIES)
     assert len(out) <= 50, (
         f"{len(out)} queries exposed — the driver gate caps at 50; "

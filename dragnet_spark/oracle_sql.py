@@ -944,8 +944,10 @@ feat AS (
          len(w) AS n_words,
          1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
              AS dup_word_frac,
-         list_distinct(list_transform(range(1, len(w)),
-             i -> array_to_string(w[i:i+1], ' '))) AS gs,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+               i -> array_to_string(w[i:i+2], ' ')))
+         ELSE [] END AS gs,
          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
              AS dup_rank
   FROM (SELECT doc_id, text, string_split(text, ' ') AS w

@@ -333,8 +333,14 @@ def q_doc_fingerprint(spark, sf_dir):
     terms = F.transform(F.col("w"), lambda t, i:
                         F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
                          .cast("bigint") * (F.lit(1) + (i * 31) % 97))
+    # Mod folded into EVERY fold step, not applied once at the end:
+    # each term is < 2^32 * 97, so an un-modded BIGINT accumulator
+    # overflows past ~2.2e7 tokens (ANSI mode: ARITHMETIC_OVERFLOW;
+    # non-ANSI: silent wrap diverging from DuckDB's exact HUGEINT).
+    # (a + x) % M per step is arithmetically identical to the
+    # mod-at-end sum and keeps the accumulator < M + max_term.
     rolling = F.aggregate(terms, F.lit(0).cast("bigint"),
-                          lambda acc, x: acc + x) % _FP_MOD
+                          lambda acc, x: (acc + x) % _FP_MOD)
     return w.select("doc_id", bag.alias("bag_fingerprint"),
                     rolling.alias("rolling_fp"))
 
@@ -935,7 +941,14 @@ def connected_components(edges: DataFrame, max_iters: int = 20,
             nxt = step(labels, edges_c).persist()
             # ONE job per round: the changed count folds into the
             # step's own aggregation over the freshly-cached result.
-            changed = nxt.agg(F.sum("chg")).collect()[0][0] or 0
+            # If the action dies (executor loss, cancellation), the
+            # just-persisted nxt is not yet `cached` and the finally
+            # below would miss it — unpersist on the way out.
+            try:
+                changed = nxt.agg(F.sum("chg")).collect()[0][0] or 0
+            except BaseException:
+                nxt.unpersist()
+                raise
             if cached is not None:
                 cached.unpersist()
             labels, cached = nxt.select("doc_id", "comp"), nxt
@@ -1022,9 +1035,15 @@ def _cc_star(edges: DataFrame, max_iters: int,
             # Exact symmetric-difference count in ONE aggregation job:
             # both sides are distinct sets, so an edge is in the
             # difference iff it appears exactly once in their union.
-            changed = (cur.unionByName(nxt).groupBy("u", "v")
-                       .agg(F.count(F.lit(1)).alias("n"))
-                       .where(F.col("n") == 1).count())
+            # Unpersist nxt if the action dies — the finally only
+            # covers `cur`.
+            try:
+                changed = (cur.unionByName(nxt).groupBy("u", "v")
+                           .agg(F.count(F.lit(1)).alias("n"))
+                           .where(F.col("n") == 1).count())
+            except BaseException:
+                nxt.unpersist()
+                raise
             cur.unpersist()
             cur = nxt
             iters += 1
@@ -1509,14 +1528,19 @@ def q_curate_decisions(spark, sf_dir):
         F.size("w").alias("n_words"),
         (F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w"))
         .alias("dup_word_frac"),
-        F.when(F.size("w") >= 2, F.transform(
-            F.sequence(F.lit(1), F.size("w") - 1),
-            lambda i: F.concat_ws(" ", F.slice("w", i, 2)))
-        ).otherwise(F.array().cast("array<string>")).alias("bi"))
+        # The SAME word 3-gram shingles as the standalone
+        # contamination_ngrams rule (_shingles): the gate must
+        # classify documents identically to the rule it composes — a
+        # prior bigram variant here disagreed with the standalone
+        # 3-gram rule on boundary documents.
+        F.when(F.size("w") >= 3, F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 3)))
+        ).otherwise(F.array().cast("array<string>")).alias("tri"))
     rn = F.row_number().over(
         Window.partitionBy("fp").orderBy("doc_id"))
     base = base.select("doc_id", "n_words", "dup_word_frac",
-                       F.array_distinct("bi").alias("gs"),
+                       F.array_distinct("tri").alias("gs"),
                        rn.alias("dup_rank"))
     ev = (base.where(F.col("doc_id") % 97 == 0)
           .select(F.explode("gs").alias("g")).distinct())

@@ -24,7 +24,15 @@ def find_iceberg_jar() -> str | None:
     identical table surface — see dragnet_spark/io.py)."""
     explicit = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
     if explicit:
-        return explicit if os.path.exists(explicit) else None
+        if not os.path.exists(explicit):
+            # An explicitly-configured jar that is missing is a config
+            # error: silently returning None would disable the Iceberg
+            # wiring and surface later as a misleading
+            # "no runtime on the classpath" failure at the first
+            # table: sink.
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_ICEBERG_JAR={explicit!r} does not exist")
+        return explicit
     import pyspark
     dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
     extra = os.environ.get("SPARK_GRAFT_JARS_DIR")

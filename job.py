@@ -75,7 +75,14 @@ def main() -> None:
     if args.corpus:
         if args.corpus == "bench":
             path = f"{args.out}/_input"
-            write_corpus_parquet_spark(spark, args.corpus, path)
+            # The bench corpus is deterministic (seeded by name), so a
+            # resume rerun reuses the materialized input instead of
+            # paying the full generation again just to anti-join the
+            # docs away.
+            try:
+                spark.read.parquet(path).schema
+            except Exception:
+                write_corpus_parquet_spark(spark, args.corpus, path)
             docs = spark.read.parquet(path)
         else:
             docs = docs_to_df(spark, make_corpus(args.corpus))
@@ -89,16 +96,18 @@ def main() -> None:
     stats = run_job(spark, docs, cfg, mask, args.out, run_id=args.run_id,
                     resume=not args.no_resume, chunked=args.chunked)
     if args.export_presto:
-        from pyspark.sql import functions as F
         from dragnet_spark.presto_io import export_presto_files
-        rows = spark.read.parquet(f"{args.out}/spans").where(
-            F.col("kind").isin("timeseries", "inf"))
+        # export_presto_files filters kinds and dedupes internally.
         stats["n_presto_files"] = export_presto_files(
-            rows, args.export_presto, prefix=cfg.prefix)
+            spark.read.parquet(f"{args.out}/spans"), args.export_presto,
+            prefix=cfg.prefix)
     if args.export_perdm:
         from dragnet_spark.io import write_timeseries_partitioned
+        # dedupe=True: this feeds from a RESUMED run_job output, which
+        # can legitimately hold a doc's series twice (io.py contract).
         write_timeseries_partitioned(
-            spark.read.parquet(f"{args.out}/spans"), args.export_perdm)
+            spark.read.parquet(f"{args.out}/spans"), args.export_perdm,
+            dedupe=True)
         stats["perdm_sink"] = args.export_perdm
     print(json.dumps(stats))
     spark.stop()

@@ -816,9 +816,14 @@ def test_curate_decisions_all_reasons(spark, tmp_path):
         (2, "p q r"),                # 3 words -> too_short
         (3, keep_text),              # -> keep
         (4, keep_text),              # same fp, higher doc_id -> duplicate
-        (5, "c d w x y z q e"),      # 4/7 eval bigrams -> contaminated
+        # 4/6 eval 3-grams hit, but split across BOTH eval docs so the
+        # Jaccard to each stays 2/7 < 0.5 (with a single tiny eval doc,
+        # hit_frac > 0.5 forces Jaccard >= 0.5 and the near_duplicate
+        # rule would fire first)
+        (5, "w x y z k l m n"),      # -> contaminated
         (6, "h i j k l f g n o b"),  # near-dup cluster min -> keep
         (7, "h i j k l f g n o v"),  # 7/9 shingles shared -> near_duplicate
+        (97, "j k l m n"),           # second eval doc (97 % 97 == 0)
     ])
     got = {r.doc_id: (r.reason, r.keep)
            for r in q_curate_decisions(spark, sf).collect()}
@@ -829,7 +834,8 @@ def test_curate_decisions_all_reasons(spark, tmp_path):
                    4: ("duplicate", False),
                    5: ("contaminated", False),
                    6: ("keep", True),
-                   7: ("near_duplicate", False)}
+                   7: ("near_duplicate", False),
+                   97: ("eval_holdout", False)}
 
 
 def test_aqe_splits_skewed_join_partition(spark):
