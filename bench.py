@@ -54,7 +54,9 @@ def get_session(cores: int):
 
 
 def corpus_cache(corpus: str) -> str:
-    return f"/tmp/dragnet_corpus_{corpus}.parquet"
+    from dragnet_spark.generate import generator_fingerprint
+    return (f"/tmp/dragnet_corpus_{corpus}_"
+            f"{generator_fingerprint()}.parquet")
 
 
 def ensure_corpus(spark, corpus: str = BENCH_CORPUS) -> int:
@@ -65,7 +67,7 @@ def ensure_corpus(spark, corpus: str = BENCH_CORPUS) -> int:
     return CORPORA[corpus][0]
 
 
-def run_flagship(spark, ndocs: int, corpus: str = BENCH_CORPUS) -> float:
+def run_flagship(spark, corpus: str = BENCH_CORPUS) -> float:
     """One timed flagship run: read the spans corpus -> fused
     zap/SK/decimate/dedisperse kernel -> force materialization.
     Returns wall seconds."""
@@ -91,10 +93,15 @@ def flagship_only(cores: int, runs: int, corpus: str = BENCH_CORPUS,
     spark = get_session(cores)
     ndocs = ensure_corpus(spark, corpus)
     for _ in range(warmups):  # warm-up (JIT of generated code, Arrow)
-        run_flagship(spark, ndocs, corpus)
-    times = [run_flagship(spark, ndocs, corpus) for _ in range(runs)]
+        run_flagship(spark, corpus)
+    times = [run_flagship(spark, corpus) for _ in range(runs)]
     spark.stop()
-    med = sorted(times)[len(times) // 2]
+    st = sorted(times)
+    # True median (even run counts averaged the protocol used the
+    # upper-middle element, biasing docs_per_sec for --runs 4 etc.;
+    # odd counts — the documented 7/3-run protocol — are unchanged).
+    med = (st[len(st) // 2] if len(st) % 2
+           else (st[len(st) // 2 - 1] + st[len(st) // 2]) / 2.0)
     print(json.dumps({"cores": cores, "ndocs": ndocs, "runs": times,
                       "median_sec": med, "docs_per_sec": ndocs / med}))
 
@@ -262,7 +269,12 @@ def _bench_partitioned_sink(spark, corpus: str = BENCH_CORPUS) -> float:
 def driver_bench() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    except ValueError:
+        # A non-sfN directory name must not crash the bench before it
+        # emits its one contract JSON line; report the name as-is.
+        sf = Path(sf_dir).name
 
     import __spark_entry__ as entry_mod
 
@@ -395,8 +407,8 @@ def driver_bench() -> None:
     # the only stable observable (kernel-side jitter, see
     # BENCH/BASELINE.md caveat).
     for _ in range(3):  # warm-up (JIT of generated code, Arrow paths)
-        run_flagship(spark, ndocs)
-    fl = min(run_flagship(spark, ndocs) for _ in range(3))
+        run_flagship(spark)
+    fl = min(run_flagship(spark) for _ in range(3))
     timings["dedisperse_bench"] = round(fl, 3)
 
     # Per-DM partitioned sink (S9 at file scale): flagship output

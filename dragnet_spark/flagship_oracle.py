@@ -80,6 +80,14 @@ def _assert_round_safe(nchan: int, tsamp: float, h: Header) -> None:
             "np.rint (half-even) and SQL ROUND (half-away) would disagree")
 
 
+def _samples_path(corpus: str) -> str:
+    """Export path keyed by the generator fingerprint, so editing the
+    corpus generator (or the span codec) invalidates stale /tmp
+    exports instead of silently comparing against an old generation."""
+    from .generate import generator_fingerprint
+    return f"{EXPORT_DIR}/{corpus}_samples_{generator_fingerprint()}.parquet"
+
+
 def export_samples(corpus: str) -> str:
     """Decode the corpus documents (the same span codec the pipeline
     reads) to long-form ``(doc_id, nsamp, t, chan, value)`` parquet for
@@ -88,8 +96,8 @@ def export_samples(corpus: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = f"{EXPORT_DIR}/{corpus}_samples.parquet"
-    marker = f"{EXPORT_DIR}/{corpus}_samples.done"
+    path = _samples_path(corpus)
+    marker = f"{path}.done"
     if os.path.exists(marker) and os.path.exists(path):
         return path
     os.makedirs(EXPORT_DIR, exist_ok=True)
@@ -111,7 +119,13 @@ def export_samples(corpus: str) -> str:
         "chan": pa.array(np.concatenate(chans), pa.int64()),
         "value": pa.array(np.concatenate(vals), pa.int64()),
     })
-    pq.write_table(table, path)
+    # pid-scoped temp + atomic rename: two sessions racing this shared
+    # /tmp cache must never let a reader observe a half-written file
+    # (the stream-strip dir in this module is app-scoped for the same
+    # reason).
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
     with open(marker, "w") as fh:
         fh.write("ok")
     return path
@@ -136,7 +150,7 @@ def _delays_cte(corpus: str, ndec: int = 1, ndm: int = 11) -> str:
 
 
 def _band_join_cte(corpus: str) -> str:
-    path = f"{EXPORT_DIR}/{corpus}_samples.parquet"
+    path = _samples_path(corpus)
     return f"""WITH {_delays_cte(corpus)},
 samples AS (SELECT * FROM read_parquet('{path}')),
 series AS (
@@ -179,7 +193,7 @@ def zap_decimate_oracle_sql() -> str:
     uint8 / 2.0), channel sums of 16 half-integers stay far below
     float32's exact range — so the engines cannot diverge."""
     cols = ", ".join(str(c) for c in _zap_cols_tiny())
-    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    path = _samples_path("tiny")
     return f"""WITH {_delays_cte("tiny", ndec=2)},
 samples AS (SELECT * FROM read_parquet('{path}')),
 zapped AS (
@@ -296,12 +310,14 @@ def masked_oracle_sql() -> str:
     m = _oracle_mask()
     _nd, nchan, t, tsamp = CORPORA["tiny"]
     ndm = 3
-    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    path = _samples_path("tiny")
     cpi_rows = ", ".join(f"({i}, {c})"
                          for i, chans in enumerate(m.chans_per_int)
                          for c in chans) or "(NULL, NULL)"
-    zapch_rows = ", ".join(f"({c})" for c in m.zap_chans)
-    zapint = ", ".join(str(i) for i in m.zap_ints)
+    # Guard empty lists like cpi_rows above: '' would interpolate to
+    # the invalid 'VALUES ' / 'IN ()'.
+    zapch_rows = ", ".join(f"({c})" for c in m.zap_chans) or "(NULL)"
+    zapint = ", ".join(str(i) for i in m.zap_ints) or "NULL"
     padv = ", ".join(f"({c}, {m.padvals[c]!r})" for c in range(nchan))
     return f"""WITH RECURSIVE {_delays_cte("tiny", ndm=ndm)},
 cpi(intv, ch) AS (VALUES {cpi_rows}),
@@ -417,7 +433,7 @@ def sk_metrics_oracle_sql() -> str:
     assert status == 0
     m = cfg.mskz
     nd = float(cfg.nskz)
-    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    path = _samples_path("tiny")
     return f"""WITH g AS (
   SELECT doc_id, chan, CAST(t // {m} AS BIGINT) AS j,
          CAST(SUM(value) AS DOUBLE) AS s1,
@@ -526,7 +542,7 @@ def clip_full_oracle_sql() -> str:
     blocks, md = _clip_blocks()
     nchan = CORPORA["tiny"][1]
     ndm = 3
-    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    path = _samples_path("tiny")
     parts = [f"""WITH {_delays_cte("tiny", ndm=ndm)},
 samples AS (SELECT * FROM read_parquet('{path}')),
 zd AS (
@@ -660,7 +676,7 @@ def clip_metrics_oracle_sql() -> str:
     kernel narrows (cutoffs, running stats, trigger, the compared
     difference)."""
     _nd, nchan, t, tsamp = CORPORA["tiny"]
-    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    path = _samples_path("tiny")
     return f"""WITH zd AS (
   SELECT doc_id, t, CAST(SUM(value) AS DOUBLE) AS z
   FROM read_parquet('{path}') GROUP BY 1, 2
@@ -766,7 +782,7 @@ def sk_full_oracle_sql() -> str:
     m = cfg.mskz                       # 64; tiny: 8 full intervals
     nd = float(cfg.nskz)
     nchan = CORPORA["tiny"][1]
-    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    path = _samples_path("tiny")
     return f"""WITH samples AS (SELECT * FROM read_parquet('{path}')),
 {_delays_cte("tiny")},
 g AS (
@@ -897,7 +913,7 @@ def optimal_dm_oracle_sql() -> str:
     nchan = CORPORA["tiny"][1]
     tsamp = CORPORA["tiny"][3]
     h = Header()
-    path = f"{EXPORT_DIR}/tiny_samples.parquet"
+    path = _samples_path("tiny")
     return f"""WITH RECURSIVE dms(dm) AS (
   SELECT CAST({k['dm_start']!r} AS DOUBLE)
   UNION ALL
@@ -961,6 +977,27 @@ def q_dedisperse_optimal_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SERIES_SCHEMA = "doc_id string, dm_index bigint, t_out bigint, value double"
+
+
+def _explode_frames(items) -> pd.DataFrame:
+    """(doc_id, dm_index, t0, float32 array) items -> the canonical
+    exploded ``_SERIES_SCHEMA`` frame.  ONE definition shared by the
+    batch text decoder (:func:`_decode_series`) and the streaming
+    chunk decoder (q_dedisperse_stream) — the two frame builders were
+    near-identical copies that could silently drift on a schema
+    change."""
+    frames = [pd.DataFrame({
+        "doc_id": doc_id,
+        "dm_index": np.int64(dm_index),
+        "t_out": np.int64(t0) + np.arange(arr.size, dtype=np.int64),
+        "value": arr.astype(np.float64),
+    }) for doc_id, dm_index, t0, arr in items]
+    return (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame({"doc_id": pd.Series(dtype=object),
+                               "dm_index": pd.Series(dtype=np.int64),
+                               "t_out": pd.Series(dtype=np.int64),
+                               "value": pd.Series(dtype=np.float64)}))
+
 _CHECKSUM_SCHEMA = ("doc_id string, dm_index bigint, n bigint, "
                     "sum_value double, wsum_value double")
 
@@ -972,21 +1009,11 @@ def _decode_series(rows: DataFrame) -> DataFrame:
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
-            for doc_id, dm_index, text in zip(
-                    pdf["doc_id"], pdf["dm_index"], pdf["text"]):
-                arr = np.frombuffer(base64.b64decode(text), dtype="<f4")
-                frames.append(pd.DataFrame({
-                    "doc_id": doc_id,
-                    "dm_index": np.int64(dm_index),
-                    "t_out": np.arange(arr.size, dtype=np.int64),
-                    "value": arr.astype(np.float64),
-                }))
-            yield (pd.concat(frames, ignore_index=True) if frames
-                   else pd.DataFrame({"doc_id": pd.Series(dtype=object),
-                                      "dm_index": pd.Series(dtype=np.int64),
-                                      "t_out": pd.Series(dtype=np.int64),
-                                      "value": pd.Series(dtype=np.float64)}))
+            yield _explode_frames(
+                (doc_id, dm_index, 0,
+                 np.frombuffer(base64.b64decode(text), dtype="<f4"))
+                for doc_id, dm_index, text in zip(
+                    pdf["doc_id"], pdf["dm_index"], pdf["text"]))
 
     return ts.mapInPandas(explode, _SERIES_SCHEMA)
 
@@ -1164,23 +1191,12 @@ def q_dedisperse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
-            for doc_id, dm_index, off, series in zip(
+            yield _explode_frames(
+                (doc_id, dm_index, off,
+                 np.frombuffer(bytes(series), dtype="<f4"))
+                for doc_id, dm_index, off, series in zip(
                     pdf["doc_id"], pdf["dm_index"], pdf["out_offset"],
-                    pdf["series"]):
-                arr = np.frombuffer(bytes(series), dtype="<f4")
-                frames.append(pd.DataFrame({
-                    "doc_id": doc_id,
-                    "dm_index": np.int64(dm_index),
-                    "t_out": np.int64(off)
-                    + np.arange(arr.size, dtype=np.int64),
-                    "value": arr.astype(np.float64),
-                }))
-            yield (pd.concat(frames, ignore_index=True) if frames
-                   else pd.DataFrame({"doc_id": pd.Series(dtype=object),
-                                      "dm_index": pd.Series(dtype=np.int64),
-                                      "t_out": pd.Series(dtype=np.int64),
-                                      "value": pd.Series(dtype=np.float64)}))
+                    pdf["series"]))
 
     return chunks.mapInPandas(explode, _SERIES_SCHEMA)
 

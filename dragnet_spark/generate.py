@@ -163,18 +163,48 @@ def write_corpus_parquet_spark(spark, corpus: str, path: str,
     return ndocs
 
 
+def generator_fingerprint() -> str:
+    """Content hash of the modules that determine corpus bytes.  Every
+    corpus/sample cache path embeds it, so editing the generator (or
+    the span codec) invalidates stale /tmp fixtures automatically —
+    a name-only cache once served an OLD corpus to the pipeline while
+    the oracle rebuilt from the NEW generator."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    base = os.path.dirname(__file__)
+    for mod in ("generate.py", "spans.py"):
+        with open(os.path.join(base, mod), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:8]
+
+
 def corpus_df(spark, corpus: str, cache_dir: str = "/tmp"):
     """Materialized corpus as a DataFrame: executor-side generation
-    cached as parquet (``/tmp/dragnet_corpus_{corpus}.parquet``).
-    Driver-side ``createDataFrame(make_corpus(...))`` ships every
-    payload through a LocalRelation — for the giant skew document that
-    is ~360 MB through the driver, the opposite of the engine's scale
-    story; a parquet scan distributes the read."""
+    cached as parquet (``/tmp/dragnet_corpus_{corpus}_{fp}.parquet``,
+    fp = :func:`generator_fingerprint`).  Driver-side
+    ``createDataFrame(make_corpus(...))`` ships every payload through
+    a LocalRelation — for the giant skew document that is ~360 MB
+    through the driver, the opposite of the engine's scale story; a
+    parquet scan distributes the read.
+
+    Concurrency-safe: the corpus is written to a pid-scoped temp dir
+    and renamed into place (a second session racing the same cache
+    either wins the rename or discards its copy), so a reader can
+    never observe a half-written cache."""
+    import os
+    import shutil
     from pathlib import Path
 
-    path = f"{cache_dir}/dragnet_corpus_{corpus}.parquet"
+    path = f"{cache_dir}/dragnet_corpus_{corpus}_{generator_fingerprint()}.parquet"
     if not (Path(path) / "_SUCCESS").exists():
-        write_corpus_parquet_spark(spark, corpus, path)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_corpus_parquet_spark(spark, corpus, tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)   # concurrent winner
     return spark.read.parquet(path)
 
 

@@ -166,8 +166,11 @@ def header_from_bf(root, verbose: bool = True) -> tuple[Header, object]:
             ra_h = int(radeg / 15.0)
             ra_m = int((radeg / 15.0 - ra_h) * 60.0)
             ra_s = (radeg / 15.0 - ra_h - ra_m / 60.0) * 3600.0
-            h.src_raj = float("%02d%02d%s%f"
-                              % (ra_h, ra_m, "0" if ra_s < 10 else "", ra_s))
+            # %09.6f exactly as the C sprintf: a pre-rounding
+            # "0 if ra_s < 10" pad diverges when the 6-decimal
+            # rendering rounds 9.9999996 up to 10.000000 (the pad
+            # would still fire, shifting the packed value 10x).
+            h.src_raj = float("%02d%02d%09.6f" % (ra_h, ra_m, ra_s))
         decdeg = _attr(beam, "POINT_DEC")
         if decdeg is not None:
             decdeg = float(decdeg)
@@ -176,9 +179,7 @@ def header_from_bf(root, verbose: bool = True) -> tuple[Header, object]:
             dec_s = (abs(decdeg) - dec_d - dec_m / 60.0) * 3600.0
             if int(decdeg) < 0:
                 dec_d = -dec_d
-            h.src_dej = float("%02d%02d%s%f"
-                              % (dec_d, dec_m, "0" if dec_s < 10 else "",
-                                 dec_s))
+            h.src_dej = float("%02d%02d%09.6f" % (dec_d, dec_m, dec_s))
 
     # channel layout tag for the span codec: LOFAR stores lowest-first
     h.chan_order = "low"
