@@ -11,37 +11,40 @@ affected (dedisperse_sk_full, dedisperse_clipped).
 
 from __future__ import annotations
 
-import math
 import struct
 import sys
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import duckdb  # noqa: E402
-import pandas as pd  # noqa: E402
+import numpy as np  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from dragnet_spark.session import get_spark  # noqa: E402
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+# ONE definition of the canonicalization and the table list, shared
+# with the value-equality gate (selfcheck) so the two replicas cannot
+# silently diverge.
+from selfcheck import TABLES, canon  # noqa: E402
 
 
 def bits(x):
     if x is None:
         return "NULL"
-    if isinstance(x, float):
-        if math.isnan(x):
-            return "NaN"
-        return struct.pack("<d", x).hex()
+    if isinstance(x, (float, np.floating)):
+        # NaNs too go through the raw bit pattern (the docstring's
+        # IEEE-754 claim): a non-canonical NaN payload/sign must
+        # surface, exactly as a raw-bits value-hash would see it.
+        return struct.pack("<d", float(x)).hex()
+    if isinstance(x, (bool, np.bool_)):
+        return f"bool:{bool(x)}"
+    if isinstance(x, (int, np.integer)):
+        # Width-insensitive: int64 vs int32 of the same value must
+        # compare equal (repr() is numpy-version-sensitive).
+        return f"int:{int(x)}"
     return repr(x)
 
 
@@ -55,25 +58,44 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *names: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     rc = 0
-    for name in names:
-        got = canon(queries[name](spark, sf_dir).toPandas())
-        want = canon(con.sql(oracles[name]).df())
-        assert len(got) == len(want), (name, len(got), len(want))
-        nbad = 0
-        first = None
-        for col in got.columns:
-            for i, (x, y) in enumerate(zip(got[col], want[col])):
-                if bits(x) != bits(y):
-                    nbad += 1
-                    if first is None:
-                        first = (col, i, x, y, bits(x), bits(y))
-        if nbad:
-            rc = 1
-            print(f"FAIL {name}: {nbad} bit-mismatched cells; "
-                  f"first {first}")
-        else:
-            print(f"PASS {name}: {len(got)} rows bit-identical")
-    spark.stop()
+    try:
+        for name in names:
+            # Every divergence class is a recorded FAIL, never a bare
+            # assert/KeyError that aborts the loop (and, under -O, a
+            # stripped assert would let zip() truncate to the shorter
+            # side and print a false PASS).
+            try:
+                got = canon(queries[name](spark, sf_dir).toPandas())
+                want = canon(con.sql(oracles[name]).df())
+            except Exception as e:  # noqa: BLE001
+                rc = 1
+                print(f"FAIL {name}: build error: {e}")
+                continue
+            if list(got.columns) != list(want.columns):
+                rc = 1
+                print(f"FAIL {name}: schema {list(got.columns)} != "
+                      f"{list(want.columns)}")
+                continue
+            if len(got) != len(want):
+                rc = 1
+                print(f"FAIL {name}: row count {len(got)} != {len(want)}")
+                continue
+            nbad = 0
+            first = None
+            for col in got.columns:
+                for i, (x, y) in enumerate(zip(got[col], want[col])):
+                    if bits(x) != bits(y):
+                        nbad += 1
+                        if first is None:
+                            first = (col, i, x, y, bits(x), bits(y))
+            if nbad:
+                rc = 1
+                print(f"FAIL {name}: {nbad} bit-mismatched cells; "
+                      f"first {first}")
+            else:
+                print(f"PASS {name}: {len(got)} rows bit-identical")
+    finally:
+        spark.stop()
     return rc
 
 

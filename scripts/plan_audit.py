@@ -122,13 +122,28 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
 
 def audit() -> int:
     spark = get_spark(app_name="plan-audit", cores=4, shuffle_partitions=4)
+    try:
+        return _audit(spark)
+    finally:
+        spark.stop()
+
+
+def _audit(spark) -> int:
     sections = []
     failures = []
     for name, (must, must_not) in CHECKS.items():
-        df = QUERIES[name](spark, SF)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode
-                 .fromString("formatted"))
+        # One broken query must surface as a recorded FAILURE in the
+        # regenerated PLANS.md, not abort the audit and leave a stale
+        # file still claiming "All invariants hold".
+        try:
+            df = QUERIES[name](spark, SF)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                     .fromString("formatted"))
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {e}")
+            sections.append((name, f"PLAN BUILD FAILED: {e}"))
+            continue
         for pat in must:
             if not re.search(pat, plan):
                 failures.append(f"{name}: missing /{pat}/")
@@ -145,8 +160,11 @@ def audit() -> int:
     plan = rows._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
              .fromString("formatted"))
-    if re.search(r"Exchange", plan):
-        failures.append("run_pipeline: unexpected Exchange (shuffle) in the "
+    # Shuffle-specific pattern: a plain /Exchange/ would also match
+    # BroadcastExchange / ReusedExchange, which are not shuffles.
+    if re.search(r"Exchange (hash|range)partitioning"
+                 r"|Exchange SinglePartition", plan):
+        failures.append("run_pipeline: unexpected shuffle Exchange in the "
                         "per-document path")
     sections.append(("run_pipeline (per-document fused path)", plan))
 
@@ -177,7 +195,6 @@ def audit() -> int:
             f.write("All invariants hold.\n\n")
         for name, plan in sections:
             f.write(f"## {name}\n\n```\n{plan.strip()}\n```\n\n")
-    spark.stop()
     if failures:
         print("\n".join(failures))
         return 1
