@@ -42,7 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     # Load the sf0.001 tables (smoke: the engine reads the driver corpus)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    assert docs.limit(1).count() >= 1, "driver corpus is empty"
+    # Explicit raise, not assert: stripped under python -O.
+    if docs.limit(1).count() < 1:
+        raise RuntimeError("driver corpus is empty")
     return _flagship_rows(spark)
 
 
@@ -70,11 +72,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the other family's oracle, and the <=50 assert cannot catch it
     # (a collision lowers the count).
     overlap = set(FLAGSHIP_QUERIES) & set(QUERIES)
-    assert not overlap, f"query name collision across families: {overlap}"
+    if overlap:    # explicit raise: asserts are stripped under -O
+        raise RuntimeError(
+            f"query name collision across families: {overlap}")
     out.update(QUERIES)
-    assert len(out) <= 50, (
-        f"{len(out)} queries exposed — the driver gate caps at 50; "
-        "merge or drop entries (see QUERIES docstring)")
+    if len(out) > 50:
+        raise RuntimeError(
+            f"{len(out)} queries exposed — the driver gate caps at 50; "
+            "merge or drop entries (see QUERIES docstring)")
     return out
 
 

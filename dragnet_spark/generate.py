@@ -204,7 +204,15 @@ def corpus_df(spark, corpus: str, cache_dir: str = "/tmp"):
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)   # concurrent winner
+            # Destination appeared while we generated.  Discard ours
+            # ONLY if the winner is complete — an incomplete/corrupt
+            # leftover (no _SUCCESS) would otherwise be served forever
+            # while every rebuild discards its fresh copy.
+            if (Path(path) / "_SUCCESS").exists():
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
     return spark.read.parquet(path)
 
 

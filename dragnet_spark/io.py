@@ -110,8 +110,12 @@ def _write_table(df: DataFrame, name: str, mode: str,
     elif mode == "ignore":
         try:
             w.create()
-        except Exception as exc:        # TableAlreadyExistsException
-            if "exist" not in str(exc).lower():
+        except Exception as exc:
+            # Ignore ONLY already-exists: a bare "exist" substring
+            # would also swallow NoSuchNamespaceException ("Namespace
+            # does not exist"), silently dropping the write.
+            if ("TableAlreadyExists" not in type(exc).__name__
+                    and "already exist" not in str(exc).lower()):
                 raise
     else:
         raise ValueError(f"unsupported table write mode {mode!r}")

@@ -231,7 +231,8 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg_l = RunConfig.from_json(cfg_json)
         mask_l = MaskSpec.from_json(mask_json) if mask_json else None
-        for pdf in batches:
+        mh = _mask_fingerprint(mask_l)   # fixed per task: hoisted out
+        for pdf in batches:              # of the per-document loop
             rows: list[dict] = []
             for doc_id, hjson, offsets, bins, media_json in zip(
                     pdf["doc_id"], pdf["header"], pdf["sample_offsets"],
@@ -265,7 +266,7 @@ def run_pipeline(df: DataFrame, cfg: RunConfig,
                     doc_id, {**metrics, "n_dms": len(out)},
                     len(spans),
                     (time.perf_counter() - t0) * 1e3, run_id, cfg_l,
-                    mask_hash=_mask_fingerprint(mask_l)),
+                    mask_hash=mh),
                     "payload": None})
             yield pd.DataFrame(rows,
                                columns=[f.name for f in _RAW_SPAN_SCHEMA])
@@ -442,6 +443,7 @@ def process_chunk_rows(chunks: DataFrame, cfg_json: str,
     def proc_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg_l = RunConfig.from_json(cfg_json)
         mask_l = MaskSpec.from_json(mask_json) if mask_json else None
+        mh = _mask_fingerprint(mask_l)   # fixed per task (hot loop)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -545,7 +547,7 @@ def process_chunk_rows(chunks: DataFrame, cfg_json: str,
                                     (time.perf_counter() - t0) * 1e3,
                                     run_id, cfg_l, int(r.chunk_id),
                                     int(r.n_chunks),
-                                    mask_hash=_mask_fingerprint(mask_l))
+                                    mask_hash=mh)
                 rows.append({"doc_id": r.doc_id, "chunk_id": int(r.chunk_id),
                              "n_chunks": int(r.n_chunks),
                              "dm_index": 1 << 30, "dt_factor": 1,

@@ -450,11 +450,21 @@ def streaming_dedisperse(strips: DataFrame, cfg, mask=None,
             if int(pdf["strip_offset"].iloc[0]) != 0:
                 # No state and a mid-document offset: the doc already
                 # finished and its state was removed — these strips are
-                # an at-least-once redelivery.  Ignore idempotently
+                # an at-least-once redelivery.  Drop them idempotently
                 # (raising here would poison the query on every
-                # checkpoint replay).
+                # checkpoint replay), but NOT silently: a diagnostic
+                # row (dm_index = -2) records the drop, so the rarer
+                # causes this heuristic cannot distinguish — a source
+                # delivering a doc's strips out of order across
+                # micro-batches, or lost state — surface downstream
+                # instead of the document stalling forever with zero
+                # output and zero evidence.
                 yield pd.DataFrame(
-                    [], columns=[f.name for f in DEDISP_OUT_SCHEMA])
+                    [(key[0], 0, -2,
+                      int(pdf["strip_offset"].iloc[0]), None,
+                      _json.dumps({"dropped_replay_strips": len(pdf)},
+                                  sort_keys=True))],
+                    columns=[f.name for f in DEDISP_OUT_SCHEMA])
                 return
             isamp = nread = opos = 0
             buf, n_blocks, n_clipped, n_sk, done = b"", 0, 0, 0, 0

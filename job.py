@@ -78,10 +78,14 @@ def main() -> None:
             # The bench corpus is deterministic (seeded by name), so a
             # resume rerun reuses the materialized input instead of
             # paying the full generation again just to anti-join the
-            # docs away.
-            try:
-                spark.read.parquet(path).schema
-            except Exception:
+            # docs away.  Reuse requires the _SUCCESS marker — a
+            # schema-readability probe would accept a PARTIAL dir
+            # left by a crashed generation and silently process a
+            # truncated corpus.
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hp):
                 write_corpus_parquet_spark(spark, args.corpus, path)
             docs = spark.read.parquet(path)
         else:

@@ -160,10 +160,13 @@ def _audit(spark) -> int:
     plan = rows._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
              .fromString("formatted"))
-    # Shuffle-specific pattern: a plain /Exchange/ would also match
-    # BroadcastExchange / ReusedExchange, which are not shuffles.
-    if re.search(r"Exchange (hash|range)partitioning"
-                 r"|Exchange SinglePartition", plan):
+    # Shuffle-specific pattern for FORMATTED explain output, where a
+    # shuffle node renders as "(N) Exchange" (its hashpartitioning
+    # detail sits on a separate Arguments: line) and broadcasts as
+    # "(N) BroadcastExchange" — a plain /Exchange/ would false-fail
+    # on broadcasts, and an /Exchange hashpartitioning/ pattern never
+    # matches formatted mode at all (vacuous check).
+    if re.search(r"\(\d+\) Exchange\b", plan):
         failures.append("run_pipeline: unexpected shuffle Exchange in the "
                         "per-document path")
     sections.append(("run_pipeline (per-document fused path)", plan))

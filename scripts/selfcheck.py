@@ -48,7 +48,8 @@ def cells_equal(a, b) -> bool:
     return a == b
 
 
-def _check_all(spark, con, sf_dir: str, failures: list) -> None:
+def _check_all(spark, con, sf_dir: str, failures: list,
+               counts: dict) -> None:
     for name, fn in QUERIES.items():
         sql = ORACLE_SQL.get(name)
         try:
@@ -58,6 +59,7 @@ def _check_all(spark, con, sf_dir: str, failures: list) -> None:
             print(f"FAIL {name}: spark error: {e}")
             continue
         if sql is None:
+            counts["skipped"] += 1
             print(f"SKIP {name}: no SQL oracle (rows-only: {len(got)} rows)")
             continue
         try:
@@ -89,6 +91,7 @@ def _check_all(spark, con, sf_dir: str, failures: list) -> None:
             print(f"FAIL {name}: first value mismatch col={bad[0]} "
                   f"row={bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r}")
         else:
+            counts["passed"] += 1
             print(f"PASS {name}: {len(got)} rows")
 
 
@@ -99,16 +102,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures: list = []
+    # Explicit per-category counters, not arithmetic over len(QUERIES):
+    # a rows-only query that FAILS on the Spark side would otherwise be
+    # double-subtracted (once as a skip, once as a failure).
+    counts = {"passed": 0, "skipped": 0}
     try:
-        _check_all(spark, con, sf_dir, failures)
+        _check_all(spark, con, sf_dir, failures, counts)
     finally:
         spark.stop()
-    n_skip = sum(1 for name in QUERIES if ORACLE_SQL.get(name) is None)
-    n_checked = len(QUERIES) - n_skip
-    # Count only oracle-CHECKED queries as passed — a SKIP (rows-only)
-    # must not inflate the pass tally.
-    tail = f" ({n_skip} rows-only, not oracle-checked)" if n_skip else ""
-    print(f"\n{n_checked - len(failures)}/{n_checked} passed{tail}")
+    n_checked = counts["passed"] + len(failures)
+    tail = (f" ({counts['skipped']} rows-only, not oracle-checked)"
+            if counts["skipped"] else "")
+    print(f"\n{counts['passed']}/{n_checked} passed{tail}")
     return 1 if failures else 0
 
 

@@ -348,8 +348,8 @@ def test_streaming_dedisperse_evicts_done_and_ignores_redelivery(
     q.awaitTermination()
     rows = spark.table("dedisp_replay_test").collect()
 
-    # output identical to a clean single-delivery run: one metrics row
-    # (not truncated), every series chunk exactly once
+    # data output identical to a clean single-delivery run: one metrics
+    # row (not truncated), every series chunk exactly once
     mrows = [r for r in rows if r.dm_index == -1]
     assert len(mrows) == 1
     assert json.loads(mrows[0].metrics) == metrics
@@ -360,6 +360,12 @@ def test_streaming_dedisperse_evicts_done_and_ignores_redelivery(
     for d_idx in range(want.shape[0]):
         assert got[d_idx] == np.ascontiguousarray(
             want[d_idx], dtype="<f4").tobytes()
+
+    # ...and the drop is OBSERVABLE: one diagnostic row (dm_index=-2)
+    # records the replayed strips instead of discarding them silently
+    drows = [r for r in rows if r.dm_index == -2]
+    assert len(drows) == 1
+    assert json.loads(drows[0].metrics)["dropped_replay_strips"] == 1
 
     # the state store ends EMPTY: the done-eviction removed the entry
     states = [so for p in q.recentProgress
