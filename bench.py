@@ -204,9 +204,11 @@ every r4 row ran ~20% over pin on a slow VM window and the bench
 cried wolf on four phantom regressions): THREE fixed calibration rows
 are timed every run and pinned alongside the queries, one per
 measured jitter mode of this VM — a lineitem scan-agg (JVM
-small-row path), a fixed-size identity `mapInPandas` pass
-(Python-worker/Arrow path: one session measured the JVM calibration
-FAST while the mapInPandas flagship ran 2.4x its pin), and a
+small-row path), an identity `mapInPandas` pass over the skew
+corpus's MB-wide span rows (Python-worker/Arrow path: one session
+measured the JVM calibration FAST while the mapInPandas flagship ran
+2.4x its pin; a small-row identity pass failed to co-move with that
+mode too, so the yardstick carries the flagship's payload shape), and a
 documents sum-length agg (wide-binary-row vectorized-reader path:
 another window ran every text-processing query uniformly ~1.76x its
 pin while the lineitem row sat at 1.05x).  A row is flagged only
@@ -343,18 +345,25 @@ def driver_bench() -> None:
     # Second calibration row, ARROW PATH: the JVM scan-agg above cannot
     # see Python-worker/Arrow-socket jitter, which is where this VM's
     # worst windows live (same session: JVM calibration 0.57 s — FAST —
-    # while the mapInPandas flagship ran 2.4x its pin).  A fixed-size
-    # identity mapInPandas pass is the yardstick whose jitter mode
-    # matches the flagship-shaped rows; those rows normalize by THIS
-    # ratio below.  Best-of-2 like the rows it normalizes.
+    # while the mapInPandas flagship ran 2.4x its pin).  The yardstick
+    # must carry the flagship's PAYLOAD SHAPE, not just its operator:
+    # an identity mapInPandas over 20k small event rows sat at 1.04x
+    # its pin in a window where the flagship ran 2.4x (2026-08-18) —
+    # the slow mode lives in MB-sized span batches crossing the
+    # worker sockets, which small rows never exercise.  So the row is
+    # an identity mapInPandas over the SKEW corpus spans (8 wide docs
+    # incl. the 65536-sample giant, ~50 MB through Arrow both ways,
+    # several workers touched; the cache is built in the warm-up
+    # above).  Best-of-2 like the heavy rows it normalizes, after one
+    # untimed run of this exact plan.
     cal_arrow = None
     try:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(20000)
-        sch = ("event_id long, ts timestamp, user_id long, "
-               "event_type string, value double, props string")
+        from dragnet_spark.pipeline import DOCS_SCHEMA
+        skew_docs = spark.read.parquet(corpus_cache("skew"))
+        arrow_q = skew_docs.mapInPandas(lambda it: it, DOCS_SCHEMA)
+        arrow_q.count()                      # warm this exact plan
         cal_arrow = round(min(
-            _timed(lambda: ev.mapInPandas(lambda it: it, sch).count())
-            for _ in range(2)), 3)
+            _timed(arrow_q.count) for _ in range(2)), 3)
     except Exception as exc:  # noqa: BLE001
         errors["_calibration_arrow"] = f"{type(exc).__name__}: {exc}"[:200]
     # Third calibration row, WIDE-ROW SCAN PATH: the documents table's
