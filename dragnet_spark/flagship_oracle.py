@@ -131,17 +131,22 @@ def export_samples(corpus: str) -> str:
     return path
 
 
-def _delays_cte(corpus: str, ndec: int = 1, ndm: int = 11) -> str:
+def _delays_cte(corpus: str, ndec: int = 1, ndm: int = 11,
+                dm_start: float = 0.0, dm_step: float = 5.0) -> str:
     """Delay-table CTE with the corpus header constants inlined —
     computed BY DuckDB, independent of plan.delay_samples.  ``ndec``
     puts the delays on the decimated grid (tsamp*ndec), exactly as the
-    reference rewrites the header before planning (dragnet.cu:72-74)."""
+    reference rewrites the header before planning (dragnet.cu:72-74).
+    ``dm_start``/``dm_step`` generalize the DM grid for the randomized
+    differential configs; callers must keep them dyadic (multiples of
+    0.25) so the DOUBLE evaluation here equals the pipeline's float32
+    ``linear_dm_list`` bit-for-bit."""
     _ndocs, nchan, _t, tsamp = CORPORA[corpus]
     tsamp_dec = tsamp * ndec
     h = Header()
     return f"""delays AS (
   SELECT d.range AS dm_index, c.range AS chan,
-         CAST(ROUND((5.0 * d.range)
+         CAST(ROUND(({dm_start!r} + {dm_step!r} * d.range)
               * ({KDM!r} * (POWER({h.fch1!r} + c.range * {h.foff!r}, -2)
                             - POWER({h.fch1!r}, -2)) / {tsamp_dec!r}))
               AS BIGINT) AS delay
@@ -204,6 +209,53 @@ zapped AS (
   SELECT doc_id, CAST(nsamp // 2 AS BIGINT) AS nsamp_dec,
          CAST(t // 2 AS BIGINT) AS td, chan,
          CAST(SUM(v) AS DOUBLE) / 2.0 AS dv
+  FROM zapped GROUP BY 1, 2, 3, 4
+), series AS (
+  SELECT z.doc_id, d.dm_index, z.td - d.delay AS t_out, SUM(z.dv) AS v
+  FROM dec z
+  JOIN delays d ON z.chan = d.chan
+  CROSS JOIN md
+  WHERE z.td - d.delay >= 0 AND z.td - d.delay < z.nsamp_dec - md.max_delay
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
+       CAST(t_out AS BIGINT) AS t_out, CAST(v AS DOUBLE) AS value
+FROM series
+"""
+
+
+def fuzz_oracle_sql(corpus: str, *, dm_start: float, dm_step: float,
+                    ndm: int, zap_cols: list[int], ndec: int) -> str:
+    """Generalized zap -> decimate -> dedisperse oracle for the
+    randomized differential configs
+    (``tests/test_fuzz_differential.py``): the
+    :func:`zap_decimate_oracle_sql` pipeline with the DM grid, the
+    zapped data-column set and the decimation factor as parameters.
+    Exactness argument identical to the fixed-config oracle: zapped
+    values are integers, decimated values are 1/ndec-ths of integers
+    (``ndec`` restricted to {1, 2, 4} keeps them dyadic), and channel
+    sums of <= nchan of them stay far below float32's exact integer
+    range — so the engines cannot diverge.  ``dm_start``/``dm_step``
+    must be dyadic (see :func:`_delays_cte`) and the caller must check
+    the .5-rounding margin for ITS grid (``_assert_round_safe`` only
+    covers the fixed s0 grid)."""
+    if ndec not in (1, 2, 4):
+        raise ValueError(f"ndec {ndec} would break the dyadic-exactness "
+                         "argument (allowed: 1, 2, 4)")
+    path = _samples_path(corpus)
+    zap_expr = ("CASE WHEN chan IN (%s) THEN 0 ELSE value END"
+                % ", ".join(str(c) for c in sorted(set(zap_cols)))
+                if zap_cols else "value")
+    return f"""WITH {_delays_cte(corpus, ndec=ndec, ndm=ndm,
+                                 dm_start=dm_start, dm_step=dm_step)},
+samples AS (SELECT * FROM read_parquet('{path}')),
+zapped AS (
+  SELECT doc_id, nsamp, t, chan, {zap_expr} AS v
+  FROM samples
+), dec AS (
+  SELECT doc_id, CAST(nsamp // {ndec} AS BIGINT) AS nsamp_dec,
+         CAST(t // {ndec} AS BIGINT) AS td, chan,
+         CAST(SUM(v) AS DOUBLE) / {float(ndec)!r} AS dv
   FROM zapped GROUP BY 1, 2, 3, 4
 ), series AS (
   SELECT z.doc_id, d.dm_index, z.td - d.delay AS t_out, SUM(z.dv) AS v

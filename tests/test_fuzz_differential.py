@@ -1,0 +1,138 @@
+"""Randomized-config differential fuzz: the Spark pipeline vs an
+independently-generated DuckDB oracle on RANDOM (but deterministic)
+zap / decimation / DM-grid / blocksize configs.
+
+The fixed flagship oracles pin seven hand-picked scenarios; this file
+draws configs from the SQL-expressible subspace (no mask / SK / clip —
+those need per-config mask content and are pinned by the fixed
+oracles) and checks cell-exact equality end to end.  Config draws are
+restricted to the space where both engines are provably exact:
+
+- ``dm_start``/``dm_step`` dyadic (multiples of 0.25), so the
+  pipeline's float32 ``linear_dm_list`` equals DuckDB's DOUBLE
+  ``start + step*i`` bit-for-bit;
+- ``ndec in {1, 2, 4}``, so decimated means are 1/ndec-ths of
+  integers (exact in float32 and DOUBLE);
+- configs whose (dm x channel-delay) products land within 1e-6 of a
+  .5 rounding boundary are skipped (np.rint is half-even, SQL ROUND
+  is half-away — the same guard ``_assert_round_safe`` applies to the
+  fixed grids), as are grids whose max delay leaves no output window;
+- ``blocksize`` is drawn from {whole-doc, 256, 512} filtered by the
+  chunk-validity rule (multiple of ndec, blocksize//ndec > max_delay)
+  — the block loop with halo must be invisible in the output.
+
+Reference semantics under test: P2 zap (dragnet.cu:249-261), A8
+decimation (skz.c:420-438), D2b linear DM list (dragnet.cu:130-143),
+D3 dedispersion + D4 overlap trim (dragnet.cu:301-307).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from dragnet_spark.flagship_oracle import (_samples_path, export_samples,
+                                           fuzz_oracle_sql, _decode_series)
+from dragnet_spark.generate import CORPORA, corpus_df
+from dragnet_spark.params import Header, RunConfig, ranges_to_ivect
+from dragnet_spark.pipeline import run_pipeline
+from dragnet_spark.plan import delay_samples, delay_table, linear_dm_list
+
+CORPUS = "tiny"
+N_SEEDS = 12
+MIN_EXECUTED = 7          # the skip guards must not hollow the test out
+
+
+def _draw(seed: int):
+    """One deterministic config draw; returns None when the draw lands
+    outside the provably-exact space (rounding margin, empty output
+    window)."""
+    _ndocs, nchan, t, tsamp = CORPORA[CORPUS]
+    rng = np.random.default_rng([4242, seed])
+    dm_start = float(rng.choice([0.0, 1.25, 2.5, 7.5]))
+    dm_step = float(rng.choice([1.25, 2.5, 5.0, 7.5, 10.0]))
+    ndm = int(rng.integers(3, 13))
+    dm_end = dm_start + dm_step * (ndm - 1)
+    ndec = int(rng.choice([1, 2, 4]))
+
+    dml = linear_dm_list(dm_start, dm_end, dm_step)
+    # Dyadic draws make (end-start)/step an exact integer: the f32
+    # list must have exactly ndm entries or the oracle's range(ndm)
+    # checks a different grid.
+    if len(dml) != ndm:
+        raise AssertionError(
+            f"seed {seed}: linear_dm_list gave {len(dml)} != {ndm} trials")
+    h = Header()
+    dt = delay_table(nchan, tsamp * ndec, h.fch1, h.foff)
+    prod = dml.astype(np.float64)[:, None] * dt[None, :]
+    margin = float(np.abs(prod - np.floor(prod) - 0.5).min())
+    if margin <= 1e-6:
+        return None                       # half-even vs half-away hazard
+    max_delay = int(delay_samples(dml, dt).max())
+    if (t // ndec) - max_delay < 2:
+        return None                       # no output window left
+
+    mode = int(rng.integers(0, 3))
+    if mode == 0:
+        zap = ""
+    elif mode == 1:
+        picks = sorted(int(p) for p in
+                       rng.choice(nchan, size=2, replace=False))
+        zap = ",".join(str(p) for p in picks)
+    else:
+        a = int(rng.integers(0, nchan - 2))
+        b = int(rng.integers(a + 1, nchan - 1))
+        zap = f"{a}:{b}"
+
+    bs_valid = [b for b in (0, 256, 512)
+                if b == 0 or (b % ndec == 0 and b // ndec > max_delay)]
+    blocksize = int(bs_valid[int(rng.integers(0, len(bs_valid)))])
+
+    cfg = RunConfig(config_id=f"fz{seed}", prefix="test",
+                    dm_start=dm_start, dm_end=dm_end, dm_step=dm_step,
+                    zapchan=zap, ndec=ndec, blocksize=blocksize)
+    zap_cols = sorted({nchan - 1 - z        # P2 flips grammar indices
+                       for z in ranges_to_ivect(zap, 0, nchan - 1)}
+                      ) if zap else []
+    return cfg, dict(dm_start=dm_start, dm_step=dm_step, ndm=ndm,
+                     zap_cols=zap_cols, ndec=ndec)
+
+
+def test_random_configs_match_duckdb(spark):
+    export_samples(CORPUS)
+    con = duckdb.connect()
+    docs = corpus_df(spark, CORPUS)
+    executed = 0
+    for seed in range(N_SEEDS):
+        drawn = _draw(seed)
+        if drawn is None:
+            continue
+        cfg, oargs = drawn
+        got = (_decode_series(run_pipeline(docs, cfg, None))
+               .toPandas())
+        want = con.sql(fuzz_oracle_sql(CORPUS, **oargs)).df()
+        label = (f"seed {seed} cfg(dm={oargs['dm_start']}+"
+                 f"{oargs['dm_step']}x{oargs['ndm']}, ndec={oargs['ndec']}, "
+                 f"zap={cfg.zapchan!r}, bs={cfg.blocksize})")
+        assert len(got) == len(want), \
+            f"{label}: rows {len(got)} != {len(want)}"
+        key = ["doc_id", "dm_index", "t_out"]
+        for df in (got, want):
+            df["dm_index"] = df["dm_index"].astype(np.int64)
+            df["t_out"] = df["t_out"].astype(np.int64)
+            df["value"] = df["value"].astype(np.float64)
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        for col in ("doc_id", "dm_index", "t_out", "value"):
+            neq = (g[col] != w[col]).to_numpy()
+            if neq.any():
+                i = int(np.argmax(neq))
+                raise AssertionError(
+                    f"{label}: first mismatch col={col} row={i}: "
+                    f"spark={g[col].iloc[i]!r} duckdb={w[col].iloc[i]!r} "
+                    f"(key={g.loc[i, key].tolist()})")
+        executed += 1
+    assert executed >= MIN_EXECUTED, \
+        f"only {executed} of {N_SEEDS} drawn configs executed — " \
+        "the skip guards hollowed the fuzz out; widen the draw space"
