@@ -341,7 +341,10 @@ def _masked_cfg() -> "RunConfig":
                         "dm_end": MASKED_DM_END})
 
 
-def masked_oracle_sql() -> str:
+def masked_oracle_sql(mask: "MaskSpec | None" = None,
+                      blocksize: int = MASKED_BLOCKSIZE,
+                      ndm: int = 3, dm_start: float = 0.0,
+                      dm_step: float = 5.0) -> str:
     """The rfifind-mask subsystem in SQL, composed with the block loop
     and dedispersion:
 
@@ -358,10 +361,14 @@ def masked_oracle_sql() -> str:
       the FLIPPED column, the reference's no-op-swap quirk.
 
     Integer padvals keep every channel sum exact, so float32 pipeline
-    accumulation and double SQL sums cannot diverge."""
-    m = _oracle_mask()
+    accumulation and double SQL sums cannot diverge.
+
+    Parameterized (mask/blocksize/DM grid) for the randomized mask
+    fuzz in ``tests/test_fuzz_differential.py``; the no-argument form
+    is the fixed driver-gate oracle, byte-identical to before."""
+    m = mask if mask is not None else _oracle_mask()
+    blocksize = int(blocksize)
     _nd, nchan, t, tsamp = CORPORA["tiny"]
-    ndm = 3
     path = _samples_path("tiny")
     cpi_rows = ", ".join(f"({i}, {c})"
                          for i, chans in enumerate(m.chans_per_int)
@@ -371,24 +378,32 @@ def masked_oracle_sql() -> str:
     zapch_rows = ", ".join(f"({c})" for c in m.zap_chans) or "(NULL)"
     zapint = ", ".join(str(i) for i in m.zap_ints) or "NULL"
     padv = ", ".join(f"({c}, {m.padvals[c]!r})" for c in range(nchan))
-    return f"""WITH RECURSIVE {_delays_cte("tiny", ndm=ndm)},
+    return f"""WITH RECURSIVE {_delays_cte("tiny", ndm=ndm,
+                                       dm_start=dm_start,
+                                       dm_step=dm_step)},
 cpi(intv, ch) AS (VALUES {cpi_rows}),
 padv(chan, pv) AS (VALUES {padv}),
 blocks(isamp) AS (
   SELECT CAST(0 AS BIGINT)
   UNION ALL
-  SELECT isamp + LEAST({MASKED_BLOCKSIZE}, {t} - isamp) - md.max_delay
+  SELECT isamp + LEAST({blocksize}, {t} - isamp) - md.max_delay
   FROM blocks, md
-  WHERE isamp + LEAST({MASKED_BLOCKSIZE}, {t} - isamp) - md.max_delay
+  WHERE isamp + LEAST({blocksize}, {t} - isamp) - md.max_delay
         < {t} - md.max_delay
 ), binfo AS (
   -- endtime replicates check_mask's exact float op order:
-  -- starttime + duration = (isamp*tsamp) + (to_read*tsamp)
-  SELECT isamp, LEAST({MASKED_BLOCKSIZE}, {t} - isamp) AS to_read,
-         CAST(FLOOR((isamp * {tsamp!r}) / {m.dtint!r}) AS BIGINT) AS loint0,
-         CAST(FLOOR(((isamp * {tsamp!r})
-                     + (LEAST({MASKED_BLOCKSIZE}, {t} - isamp) * {tsamp!r}))
-                    / {m.dtint!r}) AS BIGINT) AS hiint0
+  -- starttime + duration = (isamp*tsamp) + (to_read*tsamp).
+  -- The literals are CAST to DOUBLE (fuzz-caught): DuckDB parses
+  -- 0.002 as DECIMAL and would evaluate 352*0.002/0.064 to an EXACT
+  -- 14.0 where the reference's C doubles give 13.999...8 -> hiint 13
+  -- at an interval boundary.
+  SELECT isamp, LEAST({blocksize}, {t} - isamp) AS to_read,
+         CAST(FLOOR((isamp * CAST({tsamp!r} AS DOUBLE))
+                    / CAST({m.dtint!r} AS DOUBLE)) AS BIGINT) AS loint0,
+         CAST(FLOOR(((isamp * CAST({tsamp!r} AS DOUBLE))
+                     + (LEAST({blocksize}, {t} - isamp)
+                        * CAST({tsamp!r} AS DOUBLE)))
+                    / CAST({m.dtint!r} AS DOUBLE)) AS BIGINT) AS hiint0
   FROM blocks
 ), bint AS (
   SELECT isamp, to_read,
@@ -405,11 +420,16 @@ blocks(isamp) AS (
           OR (loint <> hiint AND hiint IN ({zapint}))) AS allmask
   FROM bint
 ), maskedchan AS (
+  -- Reference quirk (mask.c:494-503, fuzz-caught): on a STRADDLING
+  -- block with an EMPTY zap_chans list, tmpchans = zap_chans and the
+  -- loint channel list is never merged — only hiint's channels apply.
   SELECT DISTINCT b.isamp, {nchan - 1} - m.ch AS chan
   FROM bmask b
   JOIN (SELECT intv, ch FROM cpi
         UNION ALL SELECT NULL, ch FROM (VALUES {zapch_rows}) z(ch)) m
-    ON m.intv IS NULL OR m.intv = b.loint
+    ON m.intv IS NULL
+       OR (m.intv = b.loint
+           AND (b.loint = b.hiint OR {'TRUE' if m.zap_chans else 'FALSE'}))
        OR (b.loint <> b.hiint AND m.intv = b.hiint)
 ), series AS (
   SELECT s.doc_id, d.dm_index,

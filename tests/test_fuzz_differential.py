@@ -33,9 +33,10 @@ import numpy as np
 import pytest
 
 from dragnet_spark.flagship_oracle import (_samples_path, export_samples,
-                                           fuzz_oracle_sql, _decode_series)
-from dragnet_spark.generate import CORPORA, corpus_df
-from dragnet_spark.params import Header, RunConfig, ranges_to_ivect
+                                           fuzz_oracle_sql, _decode_series,
+                                           masked_oracle_sql)
+from dragnet_spark.generate import CORPORA, corpus_df, scenario_configs
+from dragnet_spark.params import Header, MaskSpec, RunConfig, ranges_to_ivect
 from dragnet_spark.pipeline import run_pipeline
 from dragnet_spark.plan import delay_samples, delay_table, linear_dm_list
 
@@ -99,6 +100,26 @@ def _draw(seed: int):
                      zap_cols=zap_cols, ndec=ndec)
 
 
+def _compare(got, want, label: str) -> None:
+    assert len(got) == len(want), \
+        f"{label}: rows {len(got)} != {len(want)}"
+    key = ["doc_id", "dm_index", "t_out"]
+    for df in (got, want):
+        df["dm_index"] = df["dm_index"].astype(np.int64)
+        df["t_out"] = df["t_out"].astype(np.int64)
+        df["value"] = df["value"].astype(np.float64)
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    for col in ("doc_id", "dm_index", "t_out", "value"):
+        neq = (g[col] != w[col]).to_numpy()
+        if neq.any():
+            i = int(np.argmax(neq))
+            raise AssertionError(
+                f"{label}: first mismatch col={col} row={i}: "
+                f"spark={g[col].iloc[i]!r} duckdb={w[col].iloc[i]!r} "
+                f"(key={g.loc[i, key].tolist()})")
+
+
 def test_random_configs_match_duckdb(spark):
     export_samples(CORPUS)
     con = duckdb.connect()
@@ -115,24 +136,97 @@ def test_random_configs_match_duckdb(spark):
         label = (f"seed {seed} cfg(dm={oargs['dm_start']}+"
                  f"{oargs['dm_step']}x{oargs['ndm']}, ndec={oargs['ndec']}, "
                  f"zap={cfg.zapchan!r}, bs={cfg.blocksize})")
-        assert len(got) == len(want), \
-            f"{label}: rows {len(got)} != {len(want)}"
-        key = ["doc_id", "dm_index", "t_out"]
-        for df in (got, want):
-            df["dm_index"] = df["dm_index"].astype(np.int64)
-            df["t_out"] = df["t_out"].astype(np.int64)
-            df["value"] = df["value"].astype(np.float64)
-        g = got.sort_values(key).reset_index(drop=True)
-        w = want.sort_values(key).reset_index(drop=True)
-        for col in ("doc_id", "dm_index", "t_out", "value"):
-            neq = (g[col] != w[col]).to_numpy()
-            if neq.any():
-                i = int(np.argmax(neq))
-                raise AssertionError(
-                    f"{label}: first mismatch col={col} row={i}: "
-                    f"spark={g[col].iloc[i]!r} duckdb={w[col].iloc[i]!r} "
-                    f"(key={g.loc[i, key].tolist()})")
+        _compare(got, want, label)
         executed += 1
     assert executed >= MIN_EXECUTED, \
         f"only {executed} of {N_SEEDS} drawn configs executed — " \
         "the skip guards hollowed the fuzz out; widen the draw space"
+
+
+# ---------------------------------------------------------------------------
+# Mask fuzz: random rfifind masks through the full J1/J4/J5 subsystem
+# ---------------------------------------------------------------------------
+
+N_MASK_SEEDS = 8
+MIN_MASK_EXECUTED = 5
+
+
+def _draw_mask(seed: int):
+    """Random mask + block/DM geometry inside the provably-exact
+    space: integer padvals, dyadic DM grid with a rounding-margin
+    guard, blocksize > max_delay (pipeline validity)."""
+    _ndocs, nchan, t, tsamp = CORPORA[CORPUS]
+    rng = np.random.default_rng([777, seed])
+    h = Header()
+
+    dm_start = float(rng.choice([0.0, 2.5]))
+    dm_step = float(rng.choice([2.5, 5.0]))
+    ndm = int(rng.integers(2, 6))
+    dm_end = dm_start + dm_step * (ndm - 1)
+    dml = linear_dm_list(dm_start, dm_end, dm_step)
+    dt = delay_table(nchan, tsamp, h.fch1, h.foff)
+    prod = dml.astype(np.float64)[:, None] * dt[None, :]
+    if float(np.abs(prod - np.floor(prod) - 0.5).min()) <= 1e-6:
+        return None
+    max_delay = int(delay_samples(dml, dt).max())
+    bs_valid = [b for b in (48, 64, 96, 128) if b > max_delay]
+    if not bs_valid:
+        return None
+    blocksize = int(bs_valid[int(rng.integers(0, len(bs_valid)))])
+
+    ptsperint = int(rng.choice([32, 64, 128]))
+    numint = t // ptsperint
+    zap_chans = sorted(int(c) for c in rng.choice(
+        nchan, size=int(rng.integers(0, 4)), replace=False))
+    zap_ints = sorted(int(i) for i in rng.choice(
+        numint, size=int(rng.integers(0, 3)), replace=False))
+    chans_per_int = []
+    for _ in range(numint):
+        if rng.random() < 0.5:
+            chans_per_int.append([])
+        elif rng.random() < 0.1:
+            chans_per_int.append(list(range(nchan)))
+        else:
+            chans_per_int.append(sorted(int(c) for c in rng.choice(
+                nchan, size=int(rng.integers(1, 5)), replace=False)))
+    padvals = [float(int(rng.integers(0, 256))) for _ in range(nchan)]
+
+    mask = MaskSpec(
+        mask_id=f"mask-fuzz-{seed}", timesigma=10.0, freqsigma=4.0,
+        mjd=h.tstart, dtint=ptsperint * tsamp,
+        lofreq=h.fch1 - (nchan - 1) * abs(h.foff), dfreq=abs(h.foff),
+        numchan=nchan, numint=numint, ptsperint=ptsperint,
+        zap_chans=zap_chans, zap_ints=zap_ints,
+        chans_per_int=chans_per_int, padvals=padvals)
+    base = scenario_configs(CORPUS)["s0"]
+    cfg = RunConfig(**{**base.__dict__, "config_id": f"fzm{seed}",
+                       "blocksize": blocksize, "use_mask": True,
+                       "dm_start": dm_start, "dm_end": dm_end,
+                       "dm_step": dm_step})
+    return cfg, mask, dict(blocksize=blocksize, ndm=ndm,
+                           dm_start=dm_start, dm_step=dm_step)
+
+
+def test_random_masks_match_duckdb(spark):
+    export_samples(CORPUS)
+    con = duckdb.connect()
+    docs = corpus_df(spark, CORPUS)
+    executed = 0
+    for seed in range(N_MASK_SEEDS):
+        drawn = _draw_mask(seed)
+        if drawn is None:
+            continue
+        cfg, mask, oargs = drawn
+        got = (_decode_series(run_pipeline(docs, cfg, mask))
+               .toPandas())
+        want = con.sql(masked_oracle_sql(mask=mask, **oargs)).df()
+        label = (f"mask seed {seed} (ppi={mask.ptsperint}, "
+                 f"zc={mask.zap_chans}, zi={mask.zap_ints}, "
+                 f"bs={oargs['blocksize']}, "
+                 f"dm={oargs['dm_start']}+{oargs['dm_step']}"
+                 f"x{oargs['ndm']})")
+        _compare(got, want, label)
+        executed += 1
+    assert executed >= MIN_MASK_EXECUTED, \
+        f"only {executed} of {N_MASK_SEEDS} mask draws executed — " \
+        "widen the draw space"
