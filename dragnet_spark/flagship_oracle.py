@@ -344,7 +344,7 @@ def _masked_cfg() -> "RunConfig":
 def masked_oracle_sql(mask: "MaskSpec | None" = None,
                       blocksize: int = MASKED_BLOCKSIZE,
                       ndm: int = 3, dm_start: float = 0.0,
-                      dm_step: float = 5.0) -> str:
+                      dm_step: float = 5.0, ndec: int = 1) -> str:
     """The rfifind-mask subsystem in SQL, composed with the block loop
     and dedispersion:
 
@@ -363,11 +363,24 @@ def masked_oracle_sql(mask: "MaskSpec | None" = None,
     Integer padvals keep every channel sum exact, so float32 pipeline
     accumulation and double SQL sums cannot diverge.
 
-    Parameterized (mask/blocksize/DM grid) for the randomized mask
-    fuzz in ``tests/test_fuzz_differential.py``; the no-argument form
-    is the fixed driver-gate oracle, byte-identical to before."""
+    Parameterized (mask/blocksize/DM grid/ndec) for the randomized
+    mask fuzz in ``tests/test_fuzz_differential.py``; the no-argument
+    form is the fixed driver-gate oracle (value-identical).  With
+    ``ndec > 1`` the oracle composes the reference's in-block order —
+    mask pad on the RAW grid (check_mask times are raw), THEN tumbling
+    decimation of the padded values, THEN dedispersion on the
+    decimated grid with the raw halo shift ``max_delay * ndec``
+    (dragnet.cu:266-307 stage order).  Exactness holds because the
+    decimated padded values are 1/ndec-ths of integers (``ndec``
+    restricted to {1, 2, 4})."""
+    if ndec not in (1, 2, 4):
+        raise ValueError(f"ndec {ndec} would break the dyadic-exactness "
+                         "argument (allowed: 1, 2, 4)")
     m = mask if mask is not None else _oracle_mask()
     blocksize = int(blocksize)
+    if blocksize % ndec:
+        raise ValueError(f"blocksize {blocksize} not a multiple of "
+                         f"ndec {ndec}")
     _nd, nchan, t, tsamp = CORPORA["tiny"]
     path = _samples_path("tiny")
     cpi_rows = ", ".join(f"({i}, {c})"
@@ -378,18 +391,20 @@ def masked_oracle_sql(mask: "MaskSpec | None" = None,
     zapch_rows = ", ".join(f"({c})" for c in m.zap_chans) or "(NULL)"
     zapint = ", ".join(str(i) for i in m.zap_ints) or "NULL"
     padv = ", ".join(f"({c}, {m.padvals[c]!r})" for c in range(nchan))
-    return f"""WITH RECURSIVE {_delays_cte("tiny", ndm=ndm,
+    return f"""WITH RECURSIVE {_delays_cte("tiny", ndm=ndm, ndec=ndec,
                                        dm_start=dm_start,
                                        dm_step=dm_step)},
 cpi(intv, ch) AS (VALUES {cpi_rows}),
 padv(chan, pv) AS (VALUES {padv}),
 blocks(isamp) AS (
+  -- max_delay is on the DECIMATED grid; the raw halo shift is
+  -- max_delay * ndec (kernels.block_loop_setup shift_back_raw).
   SELECT CAST(0 AS BIGINT)
   UNION ALL
-  SELECT isamp + LEAST({blocksize}, {t} - isamp) - md.max_delay
+  SELECT isamp + LEAST({blocksize}, {t} - isamp) - md.max_delay * {ndec}
   FROM blocks, md
-  WHERE isamp + LEAST({blocksize}, {t} - isamp) - md.max_delay
-        < {t} - md.max_delay
+  WHERE isamp + LEAST({blocksize}, {t} - isamp) - md.max_delay * {ndec}
+        < {t} - md.max_delay * {ndec}
 ), binfo AS (
   -- endtime replicates check_mask's exact float op order:
   -- starttime + duration = (isamp*tsamp) + (to_read*tsamp).
@@ -397,12 +412,17 @@ blocks(isamp) AS (
   -- 0.002 as DECIMAL and would evaluate 352*0.002/0.064 to an EXACT
   -- 14.0 where the reference's C doubles give 13.999...8 -> hiint 13
   -- at an interval boundary.
+  -- Reference unit-mixing quirk (fuzz-caught; mask.c:690 via the
+  -- dragnet.cu:72-74 header rewrite): apply_mask computes starttime
+  -- with the DECIMATED tsamp but RAW sample offsets, so for ndec > 1
+  -- the interval ids come from times ndec x the physical ones —
+  -- transcribed here by using tsamp*ndec with raw isamp/to_read.
   SELECT isamp, LEAST({blocksize}, {t} - isamp) AS to_read,
-         CAST(FLOOR((isamp * CAST({tsamp!r} AS DOUBLE))
+         CAST(FLOOR((isamp * CAST({tsamp * ndec!r} AS DOUBLE))
                     / CAST({m.dtint!r} AS DOUBLE)) AS BIGINT) AS loint0,
-         CAST(FLOOR(((isamp * CAST({tsamp!r} AS DOUBLE))
+         CAST(FLOOR(((isamp * CAST({tsamp * ndec!r} AS DOUBLE))
                      + (LEAST({blocksize}, {t} - isamp)
-                        * CAST({tsamp!r} AS DOUBLE)))
+                        * CAST({tsamp * ndec!r} AS DOUBLE)))
                     / CAST({m.dtint!r} AS DOUBLE)) AS BIGINT) AS hiint0
   FROM blocks
 ), bint AS (
@@ -431,19 +451,36 @@ blocks(isamp) AS (
        OR (m.intv = b.loint
            AND (b.loint = b.hiint OR {'TRUE' if m.zap_chans else 'FALSE'}))
        OR (b.loint <> b.hiint AND m.intv = b.hiint)
-), series AS (
-  SELECT s.doc_id, d.dm_index,
-         b.isamp + (s.t - b.isamp - d.delay) AS t_out,
-         SUM(CASE WHEN b.allmask OR mc.chan IS NOT NULL
-                  THEN p.pv ELSE s.value END) AS v
+), padded AS (
+  -- Mask pad on the RAW grid (per block: halo samples are re-masked
+  -- under their block's interval set, the reference block-loop
+  -- behaviour).
+  SELECT s.doc_id, b.isamp, s.chan,
+         CAST((s.t - b.isamp) // {ndec} AS BIGINT) AS tdl,
+         CASE WHEN b.allmask OR mc.chan IS NOT NULL
+              THEN p.pv ELSE s.value END AS pv
   FROM read_parquet('{path}') s
   JOIN bmask b ON s.t >= b.isamp AND s.t < b.isamp + b.to_read
-  JOIN delays d ON s.chan = d.chan
   JOIN padv p ON s.chan = p.chan
-  CROSS JOIN md
   LEFT JOIN maskedchan mc ON mc.isamp = b.isamp AND mc.chan = s.chan
-  WHERE s.t - b.isamp - d.delay >= 0
-    AND s.t - b.isamp - d.delay < b.to_read - md.max_delay
+), dec AS (
+  -- A8 tumbling mean of the PADDED values (decimation runs after
+  -- masking inside the block, dragnet.cu:266-307 order).  isamp stays
+  -- a multiple of ndec (blocksize and the halo shift both are), so
+  -- block-local groups equal global t//ndec groups.
+  SELECT doc_id, isamp, chan, tdl,
+         CAST(SUM(pv) AS DOUBLE) / {float(ndec)!r} AS dv
+  FROM padded GROUP BY 1, 2, 3, 4
+), series AS (
+  SELECT z.doc_id, d.dm_index,
+         z.isamp // {ndec} + (z.tdl - d.delay) AS t_out,
+         SUM(z.dv) AS v
+  FROM dec z
+  JOIN bmask b ON b.isamp = z.isamp
+  JOIN delays d ON z.chan = d.chan
+  CROSS JOIN md
+  WHERE z.tdl - d.delay >= 0
+    AND z.tdl - d.delay < b.to_read // {ndec} - md.max_delay
   GROUP BY 1, 2, 3
 )
 SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,

@@ -37,7 +37,7 @@ from dragnet_spark.flagship_oracle import (_samples_path, export_samples,
                                            masked_oracle_sql)
 from dragnet_spark.generate import CORPORA, corpus_df, scenario_configs
 from dragnet_spark.params import Header, MaskSpec, RunConfig, ranges_to_ivect
-from dragnet_spark.pipeline import run_pipeline
+from dragnet_spark.pipeline import run_pipeline, run_pipeline_chunked
 from dragnet_spark.plan import delay_samples, delay_table, linear_dm_list
 
 CORPUS = "tiny"
@@ -137,6 +137,14 @@ def test_random_configs_match_duckdb(spark):
                  f"{oargs['dm_step']}x{oargs['ndm']}, ndec={oargs['ndec']}, "
                  f"zap={cfg.zapchan!r}, bs={cfg.blocksize})")
         _compare(got, want, label)
+        if cfg.blocksize:
+            # The skew/chunked path must be invisible in the output at
+            # every drawn geometry, not just the fixed s6 scenario —
+            # same oracle, halo-extended chunk split + reassembly.
+            bpc = 1 + seed % 3
+            got_c = (_decode_series(run_pipeline_chunked(
+                docs, cfg, None, blocks_per_chunk=bpc)).toPandas())
+            _compare(got_c, want, f"{label} CHUNKED bpc={bpc}")
         executed += 1
     assert executed >= MIN_EXECUTED, \
         f"only {executed} of {N_SEEDS} drawn configs executed — " \
@@ -162,14 +170,16 @@ def _draw_mask(seed: int):
     dm_start = float(rng.choice([0.0, 2.5]))
     dm_step = float(rng.choice([2.5, 5.0]))
     ndm = int(rng.integers(2, 6))
+    ndec = int(rng.choice([1, 2, 4]))
     dm_end = dm_start + dm_step * (ndm - 1)
     dml = linear_dm_list(dm_start, dm_end, dm_step)
-    dt = delay_table(nchan, tsamp, h.fch1, h.foff)
+    dt = delay_table(nchan, tsamp * ndec, h.fch1, h.foff)
     prod = dml.astype(np.float64)[:, None] * dt[None, :]
     if float(np.abs(prod - np.floor(prod) - 0.5).min()) <= 1e-6:
         return None
     max_delay = int(delay_samples(dml, dt).max())
-    bs_valid = [b for b in (48, 64, 96, 128) if b > max_delay]
+    bs_valid = [b for b in (48, 64, 96, 128)
+                if b % ndec == 0 and b // ndec > max_delay]
     if not bs_valid:
         return None
     blocksize = int(bs_valid[int(rng.integers(0, len(bs_valid)))])
@@ -201,10 +211,12 @@ def _draw_mask(seed: int):
     base = scenario_configs(CORPUS)["s0"]
     cfg = RunConfig(**{**base.__dict__, "config_id": f"fzm{seed}",
                        "blocksize": blocksize, "use_mask": True,
+                       "ndec": ndec,
                        "dm_start": dm_start, "dm_end": dm_end,
                        "dm_step": dm_step})
     return cfg, mask, dict(blocksize=blocksize, ndm=ndm,
-                           dm_start=dm_start, dm_step=dm_step)
+                           dm_start=dm_start, dm_step=dm_step,
+                           ndec=ndec)
 
 
 def test_random_masks_match_duckdb(spark):
@@ -222,10 +234,17 @@ def test_random_masks_match_duckdb(spark):
         want = con.sql(masked_oracle_sql(mask=mask, **oargs)).df()
         label = (f"mask seed {seed} (ppi={mask.ptsperint}, "
                  f"zc={mask.zap_chans}, zi={mask.zap_ints}, "
-                 f"bs={oargs['blocksize']}, "
+                 f"bs={oargs['blocksize']}, ndec={oargs['ndec']}, "
                  f"dm={oargs['dm_start']}+{oargs['dm_step']}"
                  f"x{oargs['ndm']})")
         _compare(got, want, label)
+        # Chunked path under a random MASK too (clip off, so the
+        # chunked contract holds): chunk halos must re-mask exactly
+        # like block halos.
+        bpc = 1 + seed % 3
+        got_c = (_decode_series(run_pipeline_chunked(
+            docs, cfg, mask, blocks_per_chunk=bpc)).toPandas())
+        _compare(got_c, want, f"{label} CHUNKED bpc={bpc}")
         executed += 1
     assert executed >= MIN_MASK_EXECUTED, \
         f"only {executed} of {N_MASK_SEEDS} mask draws executed — " \
