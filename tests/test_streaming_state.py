@@ -587,3 +587,154 @@ def test_streaming_clipper_idle_timeout_emits_marker(spark, tmp_path):
     assert sorted((r.block_id, r.n_clipped) for r in rows) == \
         [(t[1], t[2]) for t in truth]
     assert states[-1]["numRowsTotal"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Randomized stream == batch differential fuzz
+# ---------------------------------------------------------------------------
+
+N_STREAM_SEEDS = 15            # seeds 8/11/14 draw the FULL stage stack
+MIN_STREAM_EXECUTED = 15       # draws self-repair (blocksize retry) => all run
+
+
+def _draw_stream_run(seed):
+    """One random (config, mask, strip geometry) draw over the tiny
+    corpus for the streaming-dedisperse parity fuzz.
+
+    Unlike the SQL-oracle fuzz (tests/test_fuzz_differential.py),
+    truth here is the batch kernels themselves
+    (:func:`dragnet_spark.kernels.process_document`), so the draw
+    space is UNRESTRICTED: any DM grid including the optimal Levin
+    list (dm_step=0), SK zapping, the clipper EWMA (which the chunked
+    batch path refuses), and a fully random rfifind mask (random
+    ptsperint / per-interval channel lists / float padvals) — the
+    stream==batch claim is bit-for-bit for ALL of them, not just the
+    dyadic-exact subspace the cross-engine oracles need."""
+    from dragnet_spark.generate import CORPORA, make_document
+    from dragnet_spark.params import Header, MaskSpec, RunConfig
+    from dragnet_spark.plan import build_plan
+    from dragnet_spark.spans import decode_document
+
+    ndocs, nchan, t, tsamp = CORPORA["tiny"]
+    rng = np.random.default_rng([77, seed])
+    doc = make_document("tiny", int(seed % ndocs))
+    header, data, _ = decode_document(doc["spans"])
+
+    ndec = int(rng.choice([1, 2, 4]))
+    use_mask = bool(rng.integers(0, 2))
+    mask = None
+    if use_mask:
+        ppi = int(rng.choice([32, 64, 128]))
+        numint = -(-t // ppi)
+        mask = MaskSpec(
+            mask_id=f"fzstream{seed}", timesigma=10.0, freqsigma=4.0,
+            mjd=Header().tstart, dtint=ppi * tsamp,
+            lofreq=Header().fch1 - (nchan - 1) * abs(Header().foff),
+            dfreq=abs(Header().foff), numchan=nchan, numint=numint,
+            ptsperint=ppi,
+            zap_chans=sorted(int(c) for c in rng.choice(
+                nchan, size=int(rng.integers(0, 3)), replace=False)),
+            zap_ints=sorted(int(i) for i in rng.choice(
+                numint, size=int(rng.integers(0, 2)), replace=False)),
+            chans_per_int=[
+                sorted(int(c) for c in rng.choice(
+                    nchan, size=int(rng.integers(0, 4)), replace=False))
+                for _ in range(numint)],
+            padvals=[float(v) for v in rng.uniform(20.0, 40.0, size=nchan)],
+        )
+    base = dict(
+        config_id=f"fzstream{seed}", prefix="test",
+        zapchan=str(rng.choice(["", "0", "2:4", "0,3:5,9"])),
+        use_mask=use_mask,
+        clip_sigma=(float(rng.choice([0.0, 4.0, 6.0]))
+                    if use_mask else 0.0),
+        use_skz=bool(rng.integers(0, 2)), mskz=int(rng.choice([32, 64])),
+        ndec=ndec, dm_start=float(rng.choice([0.0, 2.5])),
+        dm_end=float(rng.choice([30.0, 50.0])),
+        dm_step=float(rng.choice([0.0, 2.5, 5.0])),   # 0 => Levin list
+    )
+    cfg = plan = None
+    for bs in rng.permutation([0, 96, 128, 192, 256]):
+        try:
+            cfg = RunConfig(blocksize=int(bs), **base)
+            plan = build_plan(header, cfg, mask)
+            break
+        except ValueError:            # blocksize//ndec <= max_delay
+            cfg = plan = None
+    if plan is None:
+        return None
+
+    # Random strip geometry: 2-6 uneven strips, split order-preserving
+    # across 2-3 micro-batch files so halos + EWMA must cross triggers.
+    cuts = sorted({0, t, *(int(c) for c in
+                           rng.integers(1, t, size=int(rng.integers(1, 6))))})
+    strips = [(doc["doc_id"], header.to_json(), int(cuts[i]),
+               np.ascontiguousarray(data[cuts[i]:cuts[i + 1]]).tobytes())
+              for i in range(len(cuts) - 1)]
+    nfiles = min(len(strips), int(rng.integers(2, 4)))
+    bounds = [0, *sorted(int(b) for b in rng.choice(
+        range(1, len(strips)), size=nfiles - 1, replace=False)), len(strips)]
+    files = [strips[bounds[i]:bounds[i + 1]] for i in range(nfiles)]
+    return header, data, cfg, mask, plan, files
+
+
+def test_streaming_dedisperse_random_configs_parity(spark, tmp_path):
+    """Differential fuzz of the FULL stateful streaming block loop:
+    every drawn (config, mask, strip split) must reassemble to the
+    batch ``process_document`` output bit-for-bit, with the metrics
+    row equal to the batch metrics dict and zero dropped-replay
+    diagnostics.  The fixed parity scenario checks one geometry; this
+    sweeps the stage mix (zap x mask x clipper x SK x ndec x DM-list
+    kind x blocksize incl. whole-doc) and the state-boundary geometry
+    (random strip cuts x random trigger split) together."""
+    import json
+
+    from dragnet_spark.kernels import process_document
+    from dragnet_spark.streaming import STRIP_SCHEMA, streaming_dedisperse
+
+    executed = 0
+    for seed in range(N_STREAM_SEEDS):
+        drawn = _draw_stream_run(seed)
+        if drawn is None:
+            continue
+        header, data, cfg, mask, plan, files = drawn
+        want, metrics = process_document(data, plan)
+
+        d = tmp_path / f"fzstream{seed}"
+        d.mkdir()
+        now = time.time()
+        for i, rows in enumerate(files):
+            p = str(d / f"{i:03d}.parquet")
+            _write_strip_file(p, rows)
+            os.utime(p, (now + 5 * i, now + 5 * i))   # fix batch order
+        stream = (spark.readStream.schema(STRIP_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        qname = f"fzstream_sink_{seed}"
+        q = (streaming_dedisperse(stream, cfg, mask)
+             .writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.table(qname).collect()
+
+        label = (f"seed {seed} (cfg={cfg.to_json()}, "
+                 f"mask={'yes' if mask else 'no'}, "
+                 f"files={[len(f) for f in files]})")
+        assert not [r for r in rows if r.dm_index == -2], \
+            f"dropped-replay diagnostic on a clean stream: {label}"
+        mrows = [r for r in rows if r.dm_index == -1]
+        assert len(mrows) == 1, label
+        assert json.loads(mrows[0].metrics) == metrics, label
+
+        got: dict[int, bytes] = {}
+        for r in sorted((r for r in rows if r.dm_index >= 0),
+                        key=lambda r: (r.dm_index, r.block_seq)):
+            assert r.out_offset * 4 == len(got.get(r.dm_index, b"")), label
+            got[r.dm_index] = got.get(r.dm_index, b"") + bytes(r.series)
+        assert set(got) == set(range(want.shape[0])), label
+        for dm in range(want.shape[0]):
+            assert got[dm] == np.ascontiguousarray(
+                want[dm], dtype="<f4").tobytes(), f"dm {dm} diverged: {label}"
+        executed += 1
+    assert executed >= MIN_STREAM_EXECUTED, \
+        f"only {executed} of {N_STREAM_SEEDS} drawn configs executed — " \
+        "the validity guards hollowed the sweep out"
