@@ -560,3 +560,103 @@ def test_chunk_keys_plan_skips_payload_slicing(spark):
     assert "sample_bins" in rows_plan
     assert "substr(" not in keys_plan      # keys: header bounds only
     assert "sample_bins" not in keys_plan
+
+
+def test_run_job_resume_random_partial_states(spark, tmp_path):
+    """Randomized resume fuzz: a chunked job is killed at an ARBITRARY
+    point — some documents fully committed (spans + ledger), some with
+    a random subset of their chunks in the ledger (including the
+    all-chunks-committed-but-spans-missing state the task-commit
+    atomicity note in _run_job_chunked documents), some untouched —
+    and the resumed run must (a) recompute exactly the missing chunks,
+    (b) end with spans whose distinct rows equal the NumPy oracle, and
+    (c) be idempotent afterwards.  The fixed resume tests each pin one
+    kill point; this sweeps six random ones, with random blocksize /
+    ndec / zap / mask draws on top."""
+    import numpy as np
+
+    from dragnet_spark.generate import corpus_header
+    from dragnet_spark.params import RunConfig
+    from dragnet_spark.pipeline import (build_chunk_rows, chunk_keys,
+                                        prepare_documents,
+                                        process_chunk_rows)
+    from dragnet_spark.plan import build_plan
+
+    docs, df = _docs_df(spark, "tiny")
+    header = corpus_header("tiny")
+    base = scenario_configs("tiny")["s6"].__dict__
+    mask_fix = make_mask("tiny")
+
+    executed = 0
+    for seed in range(6):
+        rng = np.random.default_rng([88, seed])
+        use_mask = bool(rng.integers(0, 2))
+        cfg = RunConfig(**{**base,
+                           "blocksize": int(rng.choice([192, 256])),
+                           "ndec": int(rng.choice([1, 2])),
+                           "zapchan": str(rng.choice(["", "2:4"])),
+                           "use_mask": use_mask})
+        mask = mask_fix if use_mask else None
+        try:
+            build_plan(header, cfg, mask)
+        except ValueError:              # blocksize//ndec <= max_delay
+            continue
+        bpc = int(rng.integers(1, 4))
+        cfg_json, mask_json = cfg.to_json(), (mask.to_json() if mask
+                                              else None)
+        out = str(tmp_path / f"rf{seed}")
+        chunks_path = f"{out}/chunks/rf/{cfg.config_id}"
+        label = f"seed {seed} (cfg={cfg_json}, bpc={bpc})"
+
+        # --- Random kill state -------------------------------------
+        n_done = int(rng.integers(0, 3))
+        done_ids = {d["doc_id"]
+                    for d in rng.choice(docs, size=n_done, replace=False)}
+        if done_ids:                    # fully committed documents
+            run_job(spark, docs_to_df(
+                spark, [d for d in docs if d["doc_id"] in done_ids]),
+                cfg, mask, out, run_id="rf", chunked=True,
+                blocks_per_chunk=bpc)
+        rest = df.where(~F.col("doc_id").isin(*done_ids) if done_ids
+                        else F.lit(True))
+        keys = [(r.doc_id, r.chunk_id) for r in
+                chunk_keys(prepare_documents(rest), cfg_json, mask_json,
+                           bpc).collect()]
+        frac = float(rng.uniform(0.0, 1.0))
+        picked = {k for k in keys if rng.random() < frac}
+        if picked:                      # partially committed ledger rows
+            pre = (build_chunk_rows(prepare_documents(rest), cfg_json,
+                                    mask_json, bpc)
+                   .where(F.concat_ws("#", "doc_id", "chunk_id").isin(
+                       *[f"{d}#{c}" for d, c in picked])))
+            process_chunk_rows(pre, cfg_json, mask_json, run_id="rf") \
+                .write.mode("append").parquet(chunks_path)
+
+        # --- Resume ------------------------------------------------
+        r = run_job(spark, df, cfg, mask, out, run_id="rf", chunked=True,
+                    blocks_per_chunk=bpc)
+        assert r["n_skipped"] == len(done_ids), label
+        if picked:
+            assert r["n_chunks_skipped"] == len(picked), label
+            assert r["n_chunks_processed"] == len(keys) - len(picked), label
+        dup = (spark.read.parquet(chunks_path).where("kind = 'metrics'")
+               .groupBy("doc_id", "chunk_id").count()
+               .where("count > 1").count())
+        assert dup == 0, f"duplicate ledger chunks: {label}"
+        got = _collect_sequences(
+            spark.read.parquet(f"{out}/spans")
+            .where(F.col("kind") != "metrics")
+            .select("doc_id", "seq", "kind", "text", "media_ref")
+            .distinct())
+        want = _oracle_sequences(docs, cfg, mask)
+        assert got.keys() == want.keys(), label
+        for doc_id in want:
+            assert got[doc_id] == want[doc_id], \
+                f"resume mismatch in {doc_id}: {label}"
+        r2 = run_job(spark, df, cfg, mask, out, run_id="rf", chunked=True,
+                     blocks_per_chunk=bpc)
+        assert r2["n_processed"] == 0 and r2["n_skipped"] == len(docs), label
+        executed += 1
+    assert executed >= 5, \
+        f"only {executed} of 6 drawn configs executed — " \
+        "the validity guards hollowed the sweep out"
