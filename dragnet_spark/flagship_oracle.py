@@ -225,7 +225,9 @@ FROM series
 
 
 def fuzz_oracle_sql(corpus: str, *, dm_start: float, dm_step: float,
-                    ndm: int, zap_cols: list[int], ndec: int) -> str:
+                    ndm: int, zap_cols: list[int], ndec: int,
+                    use_dt: bool = False, pulse_width: float = 4.0,
+                    dm_tol: float = 1.25) -> str:
     """Generalized zap -> decimate -> dedisperse oracle for the
     randomized differential configs
     (``tests/test_fuzz_differential.py``): the
@@ -238,7 +240,18 @@ def fuzz_oracle_sql(corpus: str, *, dm_start: float, dm_step: float,
     range — so the engines cannot diverge.  ``dm_start``/``dm_step``
     must be dyadic (see :func:`_delays_cte`) and the caller must check
     the .5-rounding margin for ITS grid (``_assert_round_safe`` only
-    covers the fixed s0 grid)."""
+    covers the fixed s0 grid).
+
+    With ``use_dt`` the D5 adaptive time scrunch
+    (:func:`dragnet_spark.kernels.scrunch_series` on the final series,
+    ``dedisp_enable_adaptive_dt`` per ``dragnet.cu:146-153``) is
+    composed on top: the per-DM factors are RE-DERIVED BY DUCKDB from
+    the same smearing model (the C doubling loop as a recursive CTE,
+    so borderline budget comparisons replicate the reference's exact
+    double arithmetic), then each DM's series is tumbling-averaged by
+    its factor with the tail remainder dropped (``HAVING COUNT = f``).
+    Exactness extends unchanged: factors are powers of two, so
+    scrunched values stay dyadic rationals far below 2^24."""
     if ndec not in (1, 2, 4):
         raise ValueError(f"ndec {ndec} would break the dyadic-exactness "
                          "argument (allowed: 1, 2, 4)")
@@ -246,7 +259,40 @@ def fuzz_oracle_sql(corpus: str, *, dm_start: float, dm_step: float,
     zap_expr = ("CASE WHEN chan IN (%s) THEN 0 ELSE value END"
                 % ", ".join(str(c) for c in sorted(set(zap_cols)))
                 if zap_cols else "value")
-    return f"""WITH {_delays_cte(corpus, ndec=ndec, ndm=ndm,
+    scrunch_ctes = final_rel = ""
+    if use_dt:
+        _nd, nchan, _t, tsamp = CORPORA[corpus]
+        h = Header()
+        dt_us = tsamp * ndec * 1e6
+        fmid = (h.fch1 + ((nchan // 2) - 0.5) * h.foff) * 1e-3
+        a = 8.3 * h.foff / (fmid * fmid * fmid)   # plan.dt_factor_list
+        dm_expr = f"({dm_start!r} + {dm_step!r} * d.range)"
+        scrunch_ctes = f""", dtf(dm_index, budget, f) AS (
+  -- plan.dt_factor_list's doubling loop: factor = largest power of
+  -- two with 2*f*dt_us <= tol*max(dt_us, smear(dm)); smear/budget in
+  -- the identical double op order, so the recursion stops exactly
+  -- where the Python loop does.
+  SELECT d.range,
+         {dm_tol!r} * GREATEST({dt_us!r},
+             SQRT({pulse_width!r} * {pulse_width!r}
+                  + ({a!r} * {dm_expr}) * ({a!r} * {dm_expr}))),
+         CAST(1 AS BIGINT)
+  FROM range({ndm}) d
+  UNION ALL
+  SELECT dm_index, budget, f * 2 FROM dtf
+  WHERE 2 * f * {dt_us!r} <= budget
+), dtmax AS (SELECT dm_index, MAX(f) AS f FROM dtf GROUP BY 1),
+scrunched AS (
+  -- A8-shaped tumbling mean per DM by its own factor; partial tail
+  -- groups dropped (kernels.scrunch_series: n = (len // f) * f).
+  SELECT s.doc_id, s.dm_index, s.t_out // m.f AS t_out,
+         SUM(s.v) / m.f AS v
+  FROM series s JOIN dtmax m USING (dm_index)
+  GROUP BY s.doc_id, s.dm_index, s.t_out // m.f, m.f
+  HAVING COUNT(*) = m.f
+)"""
+        final_rel = "scrunched"
+    return f"""WITH RECURSIVE {_delays_cte(corpus, ndec=ndec, ndm=ndm,
                                  dm_start=dm_start, dm_step=dm_step)},
 samples AS (SELECT * FROM read_parquet('{path}')),
 zapped AS (
@@ -264,10 +310,10 @@ zapped AS (
   CROSS JOIN md
   WHERE z.td - d.delay >= 0 AND z.td - d.delay < z.nsamp_dec - md.max_delay
   GROUP BY 1, 2, 3
-)
+){scrunch_ctes}
 SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
        CAST(t_out AS BIGINT) AS t_out, CAST(v AS DOUBLE) AS value
-FROM series
+FROM {final_rel or "series"}
 """
 
 

@@ -90,14 +90,24 @@ def _draw(seed: int):
                 if b == 0 or (b % ndec == 0 and b // ndec > max_delay)]
     blocksize = int(bs_valid[int(rng.integers(0, len(bs_valid)))])
 
+    # D5 adaptive scrunch rides on top of a third of the draws, with
+    # the pulse-width/tolerance knobs varied so the factor profile
+    # isn't one shape (ti=4000us forces f>=2 even at DM 0; the large
+    # tiny-band a gives f up to 32 at the high-DM end).  Factors are
+    # powers of two, so the dyadic-exactness argument is unchanged.
+    use_dt = bool(rng.integers(0, 3) == 0)
+    pulse_width = float(rng.choice([4.0, 1000.0, 4000.0]))
+    dm_tol = float(rng.choice([1.25, 2.0]))
     cfg = RunConfig(config_id=f"fz{seed}", prefix="test",
                     dm_start=dm_start, dm_end=dm_end, dm_step=dm_step,
-                    zapchan=zap, ndec=ndec, blocksize=blocksize)
+                    zapchan=zap, ndec=ndec, blocksize=blocksize,
+                    use_dt=use_dt, pulse_width=pulse_width, dm_tol=dm_tol)
     zap_cols = sorted({nchan - 1 - z        # P2 flips grammar indices
                        for z in ranges_to_ivect(zap, 0, nchan - 1)}
                       ) if zap else []
     return cfg, dict(dm_start=dm_start, dm_step=dm_step, ndm=ndm,
-                     zap_cols=zap_cols, ndec=ndec)
+                     zap_cols=zap_cols, ndec=ndec, use_dt=use_dt,
+                     pulse_width=pulse_width, dm_tol=dm_tol)
 
 
 def _compare(got, want, label: str) -> None:
@@ -135,7 +145,8 @@ def test_random_configs_match_duckdb(spark):
         want = con.sql(fuzz_oracle_sql(CORPUS, **oargs)).df()
         label = (f"seed {seed} cfg(dm={oargs['dm_start']}+"
                  f"{oargs['dm_step']}x{oargs['ndm']}, ndec={oargs['ndec']}, "
-                 f"zap={cfg.zapchan!r}, bs={cfg.blocksize})")
+                 f"zap={cfg.zapchan!r}, bs={cfg.blocksize}, "
+                 f"dt={'%g/%g' % (cfg.pulse_width, cfg.dm_tol) if cfg.use_dt else 'off'})")
         _compare(got, want, label)
         if cfg.blocksize:
             # The skew/chunked path must be invisible in the output at
