@@ -224,6 +224,50 @@ FROM series
 """
 
 
+def _scrunch_ctes(corpus: str, *, ndec: int, ndm: int, dm_start: float,
+                  dm_step: float, pulse_width: float,
+                  dm_tol: float) -> str:
+    """D5 adaptive-scrunch CTE chain (appended after a ``series``
+    relation with columns (doc_id, dm_index, t_out, v)): per-DM
+    factors re-derived BY DuckDB from the smearing model
+    (:func:`dragnet_spark.plan.dt_factor_list` — the C doubling loop
+    as a recursive CTE, so borderline budget comparisons replicate the
+    exact double arithmetic), then an A8-shaped tumbling mean per DM
+    by its own factor with partial tail groups dropped
+    (``kernels.scrunch_series``: ``n = (len // f) * f``).  Factors are
+    powers of two, so dyadic series values stay exactly
+    representable.  ONE definition shared by the zap/decimate and the
+    rfifind-mask fuzz oracles — the paired forms cannot drift."""
+    _nd, nchan, _t, tsamp = CORPORA[corpus]
+    h = Header()
+    dt_us = tsamp * ndec * 1e6
+    fmid = (h.fch1 + ((nchan // 2) - 0.5) * h.foff) * 1e-3
+    a = 8.3 * h.foff / (fmid * fmid * fmid)       # plan.dt_factor_list
+    dm_expr = f"({dm_start!r} + {dm_step!r} * d.range)"
+    return f""", dtf(dm_index, budget, f) AS (
+  -- plan.dt_factor_list's doubling loop: factor = largest power of
+  -- two with 2*f*dt_us <= tol*max(dt_us, smear(dm)); smear/budget in
+  -- the identical double op order, so the recursion stops exactly
+  -- where the Python loop does.
+  SELECT d.range,
+         {dm_tol!r} * GREATEST({dt_us!r},
+             SQRT({pulse_width!r} * {pulse_width!r}
+                  + ({a!r} * {dm_expr}) * ({a!r} * {dm_expr}))),
+         CAST(1 AS BIGINT)
+  FROM range({ndm}) d
+  UNION ALL
+  SELECT dm_index, budget, f * 2 FROM dtf
+  WHERE 2 * f * {dt_us!r} <= budget
+), dtmax AS (SELECT dm_index, MAX(f) AS f FROM dtf GROUP BY 1),
+scrunched AS (
+  SELECT s.doc_id, s.dm_index, s.t_out // m.f AS t_out,
+         SUM(s.v) / m.f AS v
+  FROM series s JOIN dtmax m USING (dm_index)
+  GROUP BY s.doc_id, s.dm_index, s.t_out // m.f, m.f
+  HAVING COUNT(*) = m.f
+)"""
+
+
 def fuzz_oracle_sql(corpus: str, *, dm_start: float, dm_step: float,
                     ndm: int, zap_cols: list[int], ndec: int,
                     use_dt: bool = False, pulse_width: float = 4.0,
@@ -261,36 +305,9 @@ def fuzz_oracle_sql(corpus: str, *, dm_start: float, dm_step: float,
                 if zap_cols else "value")
     scrunch_ctes = final_rel = ""
     if use_dt:
-        _nd, nchan, _t, tsamp = CORPORA[corpus]
-        h = Header()
-        dt_us = tsamp * ndec * 1e6
-        fmid = (h.fch1 + ((nchan // 2) - 0.5) * h.foff) * 1e-3
-        a = 8.3 * h.foff / (fmid * fmid * fmid)   # plan.dt_factor_list
-        dm_expr = f"({dm_start!r} + {dm_step!r} * d.range)"
-        scrunch_ctes = f""", dtf(dm_index, budget, f) AS (
-  -- plan.dt_factor_list's doubling loop: factor = largest power of
-  -- two with 2*f*dt_us <= tol*max(dt_us, smear(dm)); smear/budget in
-  -- the identical double op order, so the recursion stops exactly
-  -- where the Python loop does.
-  SELECT d.range,
-         {dm_tol!r} * GREATEST({dt_us!r},
-             SQRT({pulse_width!r} * {pulse_width!r}
-                  + ({a!r} * {dm_expr}) * ({a!r} * {dm_expr}))),
-         CAST(1 AS BIGINT)
-  FROM range({ndm}) d
-  UNION ALL
-  SELECT dm_index, budget, f * 2 FROM dtf
-  WHERE 2 * f * {dt_us!r} <= budget
-), dtmax AS (SELECT dm_index, MAX(f) AS f FROM dtf GROUP BY 1),
-scrunched AS (
-  -- A8-shaped tumbling mean per DM by its own factor; partial tail
-  -- groups dropped (kernels.scrunch_series: n = (len // f) * f).
-  SELECT s.doc_id, s.dm_index, s.t_out // m.f AS t_out,
-         SUM(s.v) / m.f AS v
-  FROM series s JOIN dtmax m USING (dm_index)
-  GROUP BY s.doc_id, s.dm_index, s.t_out // m.f, m.f
-  HAVING COUNT(*) = m.f
-)"""
+        scrunch_ctes = _scrunch_ctes(corpus, ndec=ndec, ndm=ndm,
+                                     dm_start=dm_start, dm_step=dm_step,
+                                     pulse_width=pulse_width, dm_tol=dm_tol)
         final_rel = "scrunched"
     return f"""WITH RECURSIVE {_delays_cte(corpus, ndec=ndec, ndm=ndm,
                                  dm_start=dm_start, dm_step=dm_step)},
@@ -390,7 +407,9 @@ def _masked_cfg() -> "RunConfig":
 def masked_oracle_sql(mask: "MaskSpec | None" = None,
                       blocksize: int = MASKED_BLOCKSIZE,
                       ndm: int = 3, dm_start: float = 0.0,
-                      dm_step: float = 5.0, ndec: int = 1) -> str:
+                      dm_step: float = 5.0, ndec: int = 1,
+                      use_dt: bool = False, pulse_width: float = 4.0,
+                      dm_tol: float = 1.25) -> str:
     """The rfifind-mask subsystem in SQL, composed with the block loop
     and dedispersion:
 
@@ -418,7 +437,11 @@ def masked_oracle_sql(mask: "MaskSpec | None" = None,
     decimated grid with the raw halo shift ``max_delay * ndec``
     (dragnet.cu:266-307 stage order).  Exactness holds because the
     decimated padded values are 1/ndec-ths of integers (``ndec``
-    restricted to {1, 2, 4})."""
+    restricted to {1, 2, 4}).  With ``use_dt`` the D5 adaptive scrunch
+    is composed on the assembled output series (:func:`_scrunch_ctes`;
+    global t_out indices are contiguous across blocks — each block
+    starts at ``isamp // ndec`` — so grouping by ``t_out // f`` equals
+    the batch scrunch of the concatenated series)."""
     if ndec not in (1, 2, 4):
         raise ValueError(f"ndec {ndec} would break the dyadic-exactness "
                          "argument (allowed: 1, 2, 4)")
@@ -528,10 +551,12 @@ blocks(isamp) AS (
   WHERE z.tdl - d.delay >= 0
     AND z.tdl - d.delay < b.to_read // {ndec} - md.max_delay
   GROUP BY 1, 2, 3
-)
+){_scrunch_ctes("tiny", ndec=ndec, ndm=ndm, dm_start=dm_start,
+                dm_step=dm_step, pulse_width=pulse_width,
+                dm_tol=dm_tol) if use_dt else ""}
 SELECT doc_id, CAST(dm_index AS BIGINT) AS dm_index,
        CAST(t_out AS BIGINT) AS t_out, CAST(v AS DOUBLE) AS value
-FROM series
+FROM {"scrunched" if use_dt else "series"}
 """
 
 

@@ -219,15 +219,22 @@ def _draw_mask(seed: int):
         numchan=nchan, numint=numint, ptsperint=ptsperint,
         zap_chans=zap_chans, zap_ints=zap_ints,
         chans_per_int=chans_per_int, padvals=padvals)
+    # D5 on top of the mask path too (scrunch of the assembled padded
+    # series) — same dyadic argument, factors are powers of two.
+    use_dt = bool(rng.integers(0, 3) == 0)
+    pulse_width = float(rng.choice([4.0, 1000.0, 4000.0]))
+    dm_tol = float(rng.choice([1.25, 2.0]))
     base = scenario_configs(CORPUS)["s0"]
     cfg = RunConfig(**{**base.__dict__, "config_id": f"fzm{seed}",
                        "blocksize": blocksize, "use_mask": True,
                        "ndec": ndec,
                        "dm_start": dm_start, "dm_end": dm_end,
-                       "dm_step": dm_step})
+                       "dm_step": dm_step, "use_dt": use_dt,
+                       "pulse_width": pulse_width, "dm_tol": dm_tol})
     return cfg, mask, dict(blocksize=blocksize, ndm=ndm,
                            dm_start=dm_start, dm_step=dm_step,
-                           ndec=ndec)
+                           ndec=ndec, use_dt=use_dt,
+                           pulse_width=pulse_width, dm_tol=dm_tol)
 
 
 def test_random_masks_match_duckdb(spark):
@@ -247,7 +254,7 @@ def test_random_masks_match_duckdb(spark):
                  f"zc={mask.zap_chans}, zi={mask.zap_ints}, "
                  f"bs={oargs['blocksize']}, ndec={oargs['ndec']}, "
                  f"dm={oargs['dm_start']}+{oargs['dm_step']}"
-                 f"x{oargs['ndm']})")
+                 f"x{oargs['ndm']}, dt={'on' if oargs['use_dt'] else 'off'})")
         _compare(got, want, label)
         # Chunked path under a random MASK too (clip off, so the
         # chunked contract holds): chunk halos must re-mask exactly
