@@ -933,7 +933,10 @@ def q_dedisperse_sk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(F.col("value")))
 
 
-def sk_full_oracle_sql() -> str:
+def sk_full_oracle_sql(mskz: int | None = None, sskz: float | None = None,
+                       nskz: int | None = None, ndm: int = 11,
+                       dm_start: float = 0.0, dm_step: float = 5.0,
+                       zap_cols: "list[int] | tuple" = ()) -> str:
     """The complete SK path in SQL (skz.c:451-562 + dragnet.cu:301):
 
     1. estimator: exact-integer s1/s2 per (chan, interval), kernel
@@ -953,18 +956,39 @@ def sk_full_oracle_sql() -> str:
        IEEE ``(+0.0) + (-0.0) = +0.0``, bit-identical to the pipeline
        (without the seed the fold starts at ``-0.0`` and the driver's
        value-hash sees the sign bit).
-    """
+
+    Parameterized for the randomized SK fuzz
+    (``tests/test_fuzz_differential.py``): interval length / SK sigma
+    / averaged-spectra count / DM grid / a user zap list applied
+    BEFORE the estimator (P2 precedes A6 in the block body,
+    ``kernels.process_block``; a zapped channel's s1 == 0 takes the
+    NaN->masked branch and the channel is then neighbour-FILLED — the
+    zap x SK interaction the fixed form never exercises).  The
+    no-argument form is the fixed driver-gate oracle (s3 constants;
+    value-identical).  Callers must keep ``mskz`` a divisor of nsamp
+    (no partial tail intervals — the estimator inlines mact == m) and
+    the whole-document blocksize (intervals are global here, per-block
+    in a multi-block run)."""
     from .plan import sk_threshold3
 
-    cfg = scenario_configs("tiny")["s3"]
-    lo, hi, status = sk_threshold3(cfg.mskz, cfg.sskz, float(cfg.nskz))
+    s3 = scenario_configs("tiny")["s3"]
+    m = int(mskz if mskz is not None else s3.mskz)  # 64; tiny: 8 intervals
+    nd = float(nskz if nskz is not None else s3.nskz)
+    lo, hi, status = sk_threshold3(
+        m, float(sskz if sskz is not None else s3.sskz), nd)
     assert status == 0
-    m = cfg.mskz                       # 64; tiny: 8 full intervals
-    nd = float(cfg.nskz)
     nchan = CORPORA["tiny"][1]
+    if CORPORA["tiny"][2] % m:
+        raise ValueError(f"mskz {m} leaves a partial tail interval")
     path = _samples_path("tiny")
-    return f"""WITH samples AS (SELECT * FROM read_parquet('{path}')),
-{_delays_cte("tiny")},
+    zap_expr = ("CASE WHEN chan IN (%s) THEN 0 ELSE value END"
+                % ", ".join(str(c) for c in sorted(set(zap_cols)))
+                if zap_cols else "value")
+    return f"""WITH samples AS (
+  SELECT doc_id, nsamp, t, chan, {zap_expr} AS value
+  FROM read_parquet('{path}')
+),
+{_delays_cte("tiny", ndm=ndm, dm_start=dm_start, dm_step=dm_step)},
 g AS (
   SELECT doc_id, chan, CAST(t // {m} AS BIGINT) AS j,
          CAST(SUM(value) AS DOUBLE) AS s1,

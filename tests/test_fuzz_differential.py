@@ -34,7 +34,8 @@ import pytest
 
 from dragnet_spark.flagship_oracle import (_samples_path, export_samples,
                                            fuzz_oracle_sql, _decode_series,
-                                           masked_oracle_sql)
+                                           masked_oracle_sql,
+                                           sk_full_oracle_sql)
 from dragnet_spark.generate import CORPORA, corpus_df, scenario_configs
 from dragnet_spark.params import Header, MaskSpec, RunConfig, ranges_to_ivect
 from dragnet_spark.pipeline import run_pipeline, run_pipeline_chunked
@@ -110,7 +111,7 @@ def _draw(seed: int):
                      pulse_width=pulse_width, dm_tol=dm_tol)
 
 
-def _compare(got, want, label: str) -> None:
+def _compare(got, want, label: str, nan_equal: bool = False) -> None:
     assert len(got) == len(want), \
         f"{label}: rows {len(got)} != {len(want)}"
     key = ["doc_id", "dm_index", "t_out"]
@@ -122,6 +123,9 @@ def _compare(got, want, label: str) -> None:
     w = want.sort_values(key).reset_index(drop=True)
     for col in ("doc_id", "dm_index", "t_out", "value"):
         neq = (g[col] != w[col]).to_numpy()
+        if nan_equal and col == "value":
+            both_nan = (g[col].isna() & w[col].isna()).to_numpy()
+            neq &= ~both_nan
         if neq.any():
             i = int(np.argmax(neq))
             raise AssertionError(
@@ -267,3 +271,114 @@ def test_random_masks_match_duckdb(spark):
     assert executed >= MIN_MASK_EXECUTED, \
         f"only {executed} of {N_MASK_SEEDS} mask draws executed — " \
         "widen the draw space"
+
+
+# ---------------------------------------------------------------------------
+# SK fuzz: random estimator/threshold/fill geometry through A6 + W2
+# ---------------------------------------------------------------------------
+
+N_SK_SEEDS = 8
+MIN_SK_EXECUTED = 6
+
+
+def _draw_sk(seed: int):
+    """Random SK config inside the provably-exact space: mskz a
+    divisor of nsamp (no partial tail intervals), dyadic DM grid with
+    the rounding-margin guard, optional user zap (the zapped channels'
+    s1 == 0 rides the NaN->masked branch and gets neighbour-FILLED —
+    the zap x SK composition)."""
+    from dragnet_spark.plan import sk_threshold3
+
+    _ndocs, nchan, t, tsamp = CORPORA[CORPUS]
+    rng = np.random.default_rng([7777, seed])
+    h = Header()
+
+    mskz = int(rng.choice([32, 64, 128]))        # all divide t = 512
+    sskz = float(rng.choice([1.5, 2.0, 3.0, 4.0]))
+    nskz = int(rng.choice([6, 12, 24]))
+    _lo, _hi, status = sk_threshold3(mskz, sskz, float(nskz))
+    if status != 0:
+        return None                              # no Pearson solution
+
+    dm_start = float(rng.choice([0.0, 2.5]))
+    dm_step = float(rng.choice([2.5, 5.0]))
+    ndm = int(rng.integers(2, 8))
+    dm_end = dm_start + dm_step * (ndm - 1)
+    dml = linear_dm_list(dm_start, dm_end, dm_step)
+    dt = delay_table(nchan, tsamp, h.fch1, h.foff)
+    prod = dml.astype(np.float64)[:, None] * dt[None, :]
+    if float(np.abs(prod - np.floor(prod) - 0.5).min()) <= 1e-6:
+        return None                              # half-even hazard
+    if t - int(delay_samples(dml, dt).max()) < 2:
+        return None                              # no output window
+
+    mode = int(rng.integers(0, 3))
+    if mode == 0:
+        zap = ""
+    elif mode == 1:
+        picks = sorted(int(p) for p in
+                       rng.choice(nchan, size=2, replace=False))
+        zap = ",".join(str(p) for p in picks)
+    else:
+        a = int(rng.integers(0, nchan - 2))
+        zap = f"{a}:{int(rng.integers(a + 1, nchan - 1))}"
+
+    base = scenario_configs(CORPUS)["s0"]
+    cfg = RunConfig(**{**base.__dict__, "config_id": f"fzsk{seed}",
+                       "use_skz": True, "mskz": mskz, "sskz": sskz,
+                       "nskz": nskz, "zapchan": zap,
+                       "dm_start": dm_start, "dm_end": dm_end,
+                       "dm_step": dm_step})
+    zap_cols = sorted({nchan - 1 - z
+                       for z in ranges_to_ivect(zap, 0, nchan - 1)}
+                      ) if zap else []
+    return cfg, dict(mskz=mskz, sskz=sskz, nskz=nskz, ndm=ndm,
+                     dm_start=dm_start, dm_step=dm_step,
+                     zap_cols=zap_cols)
+
+
+def test_random_sk_configs_match_duckdb(spark):
+    """Differential fuzz of the full SK subsystem (A6 estimator + F3
+    thresholds + W2 neighbour fill + D3): random interval length / SK
+    sigma / averaged-spectra count / zap / DM grid, each run through
+    the REAL pipeline and compared cell-exact against the DuckDB
+    evaluation with that config's own Pearson limits inlined.  The
+    fixed dedisperse_sk_full gate query pins ONE geometry (s3); this
+    sweeps the masked-pattern space the fill logic depends on.  NaNs
+    (a 0/0 fill propagated into the fold) compare as equal, mirroring
+    the gate query's NaN->NULL mapping."""
+    from dragnet_spark.generate import make_document
+    from dragnet_spark.kernels import process_document
+    from dragnet_spark.plan import build_plan
+    from dragnet_spark.spans import decode_document
+
+    export_samples(CORPUS)
+    con = duckdb.connect()
+    docs = corpus_df(spark, CORPUS)
+    executed = 0
+    total_sk_masked = 0
+    for seed in range(N_SK_SEEDS):
+        drawn = _draw_sk(seed)
+        if drawn is None:
+            continue
+        cfg, oargs = drawn
+        got = (_decode_series(run_pipeline(docs, cfg, None)).toPandas())
+        want = con.sql(sk_full_oracle_sql(**oargs)).df()
+        label = (f"sk seed {seed} (mskz={oargs['mskz']}, "
+                 f"sskz={oargs['sskz']}, nskz={oargs['nskz']}, "
+                 f"zap={cfg.zapchan!r}, dm={oargs['dm_start']}+"
+                 f"{oargs['dm_step']}x{oargs['ndm']})")
+        _compare(got, want, label, nan_equal=True)
+        executed += 1
+        # Diagnostic only (same kernels, not the truth): count masked
+        # intervals so the sweep-level guard below can prove the fill
+        # path actually ran.
+        doc = make_document(CORPUS, 0)
+        header, data, _ = decode_document(doc["spans"])
+        _, metrics = process_document(data, build_plan(header, cfg, None))
+        total_sk_masked += metrics["n_sk_masked_intervals"]
+    assert executed >= MIN_SK_EXECUTED, \
+        f"only {executed} of {N_SK_SEEDS} SK draws executed — " \
+        "widen the draw space"
+    assert total_sk_masked > 0, \
+        "no draw ever masked an interval — the fill path went unfuzzed"
