@@ -671,20 +671,23 @@ def _clip_full_cfg() -> RunConfig:
                         "dm_end": CLIP_DM_END})
 
 
-def _clip_blocks() -> tuple[list[tuple[int, int]], int]:
+def _clip_blocks(blocksize: int = CLIP_BLOCKSIZE, dm_start: float = 0.0,
+                 dm_step: float = 5.0,
+                 dm_end: float = CLIP_DM_END) -> tuple[list[tuple[int, int]],
+                                                       int]:
     """Deterministic (isamp, to_read) list of the block loop
     (dragnet.cu:237-330) plus max_delay, computed at SQL-build time."""
     from .plan import delay_samples
 
     _nd, nchan, t, tsamp = CORPORA["tiny"]
     h = Header()
-    dml = linear_dm_list(0.0, CLIP_DM_END, 5.0)
+    dml = linear_dm_list(dm_start, dm_end, dm_step)
     md = int(delay_samples(dml, delay_table(nchan, tsamp, h.fch1,
                                             h.foff)).max())
     blocks = []
     isamp = 0
     while True:
-        to_read = min(CLIP_BLOCKSIZE, t - isamp)
+        to_read = min(blocksize, t - isamp)
         blocks.append((isamp, to_read))
         isamp += to_read - md
         if not isamp < t - md:
@@ -707,23 +710,35 @@ def q_dedisperse_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decode_series(rows)
 
 
-def clip_full_oracle_sql() -> str:
+def clip_full_oracle_sql(blocksize: int = CLIP_BLOCKSIZE,
+                         clip_sigma: float = CLIP_SIGMA, ndm: int = 3,
+                         dm_start: float = 0.0,
+                         dm_step: float = 5.0) -> str:
     """The clipper at series level, EWMA included (mask.c:556-677 +
-    dragnet.cu:301).  The 6-block recurrence is UNROLLED into chained
-    CTEs; every float32 narrowing in the kernel is replicated with a
-    CAST, every other intermediate is exact (integer zero-DM sums,
+    dragnet.cu:301).  The multi-block recurrence is UNROLLED into
+    chained CTEs (one group per block of the drawn geometry); every
+    float32 narrowing in the kernel is replicated with a CAST, every
+    other intermediate is exact (integer zero-DM sums,
     exact-representable deviations, one IEEE multiply per squared
     term, exact divisions).  Replaced rows take the per-channel
     running levels (float32), so the final dedispersion emulates the
     float32 channel-order fold with list_reduce, seeded with +0.0 via
     list_prepend (the kernel's zero-initialized accumulator) so a
     negative-zero replacement value in channel 0 cannot flip the
-    fold's sign bit vs the pipeline."""
-    blocks, md = _clip_blocks()
+    fold's sign bit vs the pipeline.
+
+    Parameterized (blocksize/clip sigma/DM grid) for the randomized
+    clipper fuzz in ``tests/test_fuzz_differential.py`` — the
+    exactness argument is op-for-op emulation, so it holds at every
+    geometry; the no-argument form is the fixed driver-gate oracle
+    (byte-identical).  The first-pass ±3-sigma cut stays literal 3.0
+    (hardcoded in the reference, mask.c:618)."""
+    blocks, md = _clip_blocks(blocksize, dm_start, dm_step,
+                              dm_start + dm_step * (ndm - 1))
     nchan = CORPORA["tiny"][1]
-    ndm = 3
     path = _samples_path("tiny")
-    parts = [f"""WITH {_delays_cte("tiny", ndm=ndm)},
+    parts = [f"""WITH {_delays_cte("tiny", ndm=ndm, dm_start=dm_start,
+                                   dm_step=dm_step)},
 samples AS (SELECT * FROM read_parquet('{path}')),
 zd AS (
   SELECT doc_id, t, CAST(SUM(value) AS DOUBLE) AS z
@@ -799,7 +814,7 @@ zd AS (
   FROM zd JOIN ew_{b} e USING (doc_id)
   WHERE {win}
     AND ABS(CAST(zd.z - CAST(e.ravg AS DOUBLE) AS FLOAT))
-        > CAST(CAST(CAST({CLIP_SIGMA!r} AS FLOAT) AS DOUBLE)
+        > CAST(CAST(CAST({clip_sigma!r} AS FLOAT) AS DOUBLE)
                * CAST(e.rstd AS DOUBLE) AS FLOAT)
 ), buf_{b} AS (
   SELECT s.doc_id, s.t, s.chan,
