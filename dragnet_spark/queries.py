@@ -1231,7 +1231,12 @@ def q_quality_repetition(spark, sf_dir):
         (nw - 1).cast("bigint").alias("n_bigrams"),
         F.round(F.lit(1.0) - F.size(F.array_distinct("w")) / nw, 6)
          .alias("dup_word_frac"),
-        F.round(top.cast("double") / (nw - 1), 6).alias("top_bigram_frac"))
+        # 1-word docs have no bigrams: NULL, like the oracle's
+        # list_max(empty) = NULL — an unguarded /(nw-1) is a
+        # DIVIDE_BY_ZERO under ANSI mode (found by the random-corpus
+        # fuzz; the fixed corpus has no 1-word documents).
+        F.when(nw >= 2, F.round(top.cast("double") / (nw - 1), 6))
+         .alias("top_bigram_frac"))
 
 
 def q_embedding_quantize(spark, sf_dir):

@@ -1,0 +1,259 @@
+"""Randomized-corpus differential fuzz of the training-data operator
+surface: every documents/events/embeddings-backed ``queries()`` entry
+vs its DuckDB oracle over RANDOM (but deterministic) corpora.
+
+The driver gate and ``scripts/selfcheck.py`` verify the 50 queries
+cell-exact on the FIXED ``/root/testdata`` distribution; this file
+re-draws the corpus geometry per seed so distribution-dependent bugs
+can't hide behind that one shape.  Each random corpus deliberately
+plants the hazards the fixed tables never exercise:
+
+- documents: 1-word and 2-word texts (the ``sequence(1, 0)`` descending
+  quirk behind the shingle/bigram guards), single-token repetitions,
+  EXACT duplicate texts (dedup survivorship), one-word-mutated near
+  duplicates (minhash/jaccard/component paths), random lengths 1-120
+  vs the fixed corpus's uniform 9+ words;
+- events: per-user gaps straddling the 4-hour sessionize boundary,
+  including exact-boundary gaps (the stream==batch parity edge), and
+  a random channel count so per-channel aggregates see groups of
+  size 1 (ddof=1 guards) up to thousands;
+- embeddings: exact duplicate vectors and noise-perturbed copies
+  (cosine ~1 pairs through the sign-LSH bands), drawn at the fixed
+  dim=64 the banded hyperplane constants assume.
+
+Exactness preconditions mirror the fixed generator: event values are
+2-decimal doubles (DECIMAL(18,2) casts agree because k/100's nearest
+double is never a rounding midpoint), embeddings are arbitrary f32
+(every cosine oracle replicates Spark's sequential double
+accumulation), and text is single-space-joined ASCII words.
+
+Query set = ``__spark_entry__.queries()`` minus the TPC-H join/agg
+relations (their tables keep the fixed shape) and the flagship
+dedispersion entries (fuzzed end-to-end in test_fuzz_differential.py /
+test_streaming_state.py on their own corpora); ``approx_distinct_hll``
+stays in, over a random-key orders table (random key domains walk the
+HLL register ranks the fixed keyspace never reaches).
+``DRAGNET_FUZZ_TEXT_SEEDS`` widens the sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entry_mod
+from dragnet_spark.queries import QUERIES
+from dragnet_spark.oracle_sql import ORACLE_SQL
+
+N_SEEDS = int(os.environ.get("DRAGNET_FUZZ_TEXT_SEEDS", "3"))
+
+# Tables the fuzz generates; queries over anything else are excluded.
+_EXCLUDED = {"pricing_summary", "revenue_by_nation"}
+FUZZ_QUERIES = [n for n in QUERIES if n not in _EXCLUDED]
+
+# The fixed-corpus vocabulary (superset of every LANG_MARKERS set and
+# the 'the'/'a' stopwords) so language scoring and stopword ratios
+# exercise their nontrivial branches.
+_VOCAB = np.array([
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value",
+    "part", "hash", "merge", "batch", "a", "the", "line", "sort",
+    "window", "spark", "order", "data", "column", "join", "small",
+    "customer", "query", "big", "group", "stream", "vector", "filter",
+])
+_LANGS = np.array(["en", "de", "es", "fr", "zh"])
+_EPOCH_US = pd.Timestamp("2024-01-01").value // 1000
+_GAP_US = 4 * 3600 * 1_000_000          # the sessionize gap
+
+
+def _gen_documents(rng: np.random.Generator) -> pd.DataFrame:
+    n_docs = int(rng.integers(60, 301))
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = float(rng.random())
+        if i > 0 and r < 0.08:          # exact duplicate
+            texts.append(texts[int(rng.integers(0, i))])
+        elif i > 0 and r < 0.16:        # near duplicate: mutate 1 word
+            base = texts[int(rng.integers(0, i))].split(" ")
+            base[int(rng.integers(0, len(base)))] = \
+                str(rng.choice(_VOCAB))
+            texts.append(" ".join(base))
+        elif r < 0.24:                  # short doc: 1-4 words
+            texts.append(" ".join(
+                rng.choice(_VOCAB, size=int(rng.integers(1, 5)))))
+        elif r < 0.32:                  # repetitive: 1-2 words repeated
+            words = rng.choice(_VOCAB, size=int(rng.integers(1, 3)))
+            reps = int(rng.integers(6, 41))
+            texts.append(" ".join(list(words) * reps))
+        else:                           # normal doc
+            texts.append(" ".join(
+                rng.choice(_VOCAB, size=int(rng.integers(5, 121)))))
+    return pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(_LANGS, size=n_docs),
+        "source": [f"src{int(x)}" for x in rng.integers(0, 20, n_docs)],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+
+
+def _gen_events(rng: np.random.Generator) -> pd.DataFrame:
+    n_events = int(rng.integers(800, 3001))
+    n_users = int(rng.integers(3, 41))
+    # Gap mixture: mostly seconds, some > 4 h (session breaks), and a
+    # pinch of EXACTLY 4 h (the >= gap boundary both engines must
+    # agree on; with few users some land on same-user pairs).
+    mode = rng.random(n_events)
+    gaps = rng.integers(1_000_000, 600_000_000, n_events)  # 1 s - 10 min
+    gaps = np.where(mode < 0.03, _GAP_US, gaps)
+    gaps = np.where((mode >= 0.03) & (mode < 0.06),
+                    rng.integers(_GAP_US, 2 * _GAP_US, n_events), gaps)
+    ts_us = _EPOCH_US + np.cumsum(gaps.astype(np.int64))
+    return pd.DataFrame({
+        "event_id": np.arange(n_events, dtype=np.int64),
+        "ts": ts_us,
+        "user_id": rng.integers(0, n_users, n_events).astype(np.int64),
+        "event_type": rng.choice(
+            np.array(["click", "view", "error", "scroll"]),
+            size=n_events, p=[0.4, 0.35, 0.15, 0.1]),
+        "value": rng.integers(1, 49003, n_events) / 100.0,
+        "props": [json.dumps({"k": int(x)})
+                  for x in rng.integers(0, 100, n_events)],
+    })
+
+
+def _gen_embeddings(rng: np.random.Generator) -> pd.DataFrame:
+    n_vecs = int(rng.integers(40, 261))
+    dim = 64                      # the banded hyperplanes assume 64
+    emb = rng.uniform(-0.3, 0.3, (n_vecs, dim)).astype(np.float32)
+    for i in range(1, n_vecs):    # plant exact + near duplicates
+        r = float(rng.random())
+        if r < 0.05:
+            emb[i] = emb[int(rng.integers(0, i))]
+        elif r < 0.10:
+            src = emb[int(rng.integers(0, i))]
+            noise = rng.uniform(-0.01, 0.01, dim).astype(np.float32)
+            emb[i] = (src + noise).astype(np.float32)
+    return pd.DataFrame({
+        "vec_id": np.arange(n_vecs, dtype=np.int64),
+        "embedding": list(emb),
+        "label": rng.integers(0, 5, n_vecs).astype(np.int32),
+    })
+
+
+def _gen_orders(rng: np.random.Generator) -> pd.DataFrame:
+    """Only the column the HLL sketch hashes; key domain drawn wide so
+    md5 leading-zero ranks vary, with occasional duplicates so
+    n_exact < n_rows."""
+    n = int(rng.integers(500, 5001))
+    keys = rng.integers(0, 1 << int(rng.integers(10, 40)), n)
+    return pd.DataFrame({"o_orderkey": keys.astype(np.int64)})
+
+
+def write_fuzz_corpus(seed: int, out_dir: str) -> dict:
+    """Materialize one random corpus (documents/events/embeddings
+    parquet, the driver's testdata schemas) under ``out_dir``; returns
+    its geometry for reporting."""
+    rng = np.random.default_rng([7373, seed])
+    docs = _gen_documents(rng)
+    events = _gen_events(rng)
+    embs = _gen_embeddings(rng)
+    orders = _gen_orders(rng)
+    pq.write_table(pa.Table.from_pydict({
+        "o_orderkey": pa.array(orders["o_orderkey"], pa.int64()),
+    }), f"{out_dir}/orders.parquet")
+
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(docs["doc_id"], pa.int64()),
+        "text": pa.array(docs["text"], pa.string()),
+        "lang": pa.array(docs["lang"], pa.string()),
+        "source": pa.array(docs["source"], pa.string()),
+        "n_chars": pa.array(docs["n_chars"], pa.int64()),
+    }), f"{out_dir}/documents.parquet")
+    pq.write_table(pa.Table.from_pydict({
+        "event_id": pa.array(events["event_id"], pa.int64()),
+        "ts": pa.array(events["ts"], pa.timestamp("us")),
+        "user_id": pa.array(events["user_id"], pa.int64()),
+        "event_type": pa.array(events["event_type"], pa.string()),
+        "value": pa.array(events["value"], pa.float64()),
+        "props": pa.array(events["props"], pa.string()),
+    }), f"{out_dir}/events.parquet")
+    pq.write_table(pa.Table.from_pydict({
+        "vec_id": pa.array(embs["vec_id"], pa.int64()),
+        "embedding": pa.array(list(embs["embedding"]),
+                              pa.list_(pa.float32())),
+        "label": pa.array(embs["label"], pa.int32()),
+    }), f"{out_dir}/embeddings.parquet")
+    return {"n_docs": len(docs), "n_events": len(events),
+            "n_users": int(events["user_id"].max()) + 1,
+            "n_vecs": len(embs), "n_orders": len(orders)}
+
+
+# ---- compare helpers (the selfcheck gate's exact semantics) ----------
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _cells_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
+
+
+def check_corpus(spark, sf_dir: str, names=FUZZ_QUERIES) -> list[str]:
+    """Run every fuzzed query on Spark and DuckDB over ``sf_dir``;
+    returns failure descriptions (empty = all cell-exact)."""
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures: list[str] = []
+    for name in names:
+        sql = ORACLE_SQL.get(name)
+        if sql is None:
+            continue
+        got = QUERIES[name](spark, sf_dir).toPandas()
+        want = con.sql(sql).df()
+        if sorted(got.columns) != sorted(want.columns):
+            failures.append(f"{name}: schema {sorted(got.columns)} != "
+                            f"{sorted(want.columns)}")
+            continue
+        if len(got) != len(want):
+            failures.append(f"{name}: rows {len(got)} != {len(want)}")
+            continue
+        g, w = _canon(got), _canon(want)
+        for col in g.columns:
+            bad = next((i for i, (x, y) in enumerate(zip(g[col], w[col]))
+                        if not _cells_equal(x, y)), None)
+            if bad is not None:
+                failures.append(
+                    f"{name}: col={col} row={bad}: "
+                    f"spark={g[col][bad]!r} duckdb={w[col][bad]!r}")
+                break
+    con.close()
+    return failures
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_training_ops_random_corpus(spark, tmp_path, seed):
+    geom = write_fuzz_corpus(seed, str(tmp_path))
+    failures = check_corpus(spark, str(tmp_path))
+    assert not failures, f"seed {seed} geometry {geom}: {failures}"
