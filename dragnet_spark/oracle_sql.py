@@ -889,7 +889,7 @@ WITH e AS (
                      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
                      (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= 14400000000
+                   > 14400000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ), s AS (

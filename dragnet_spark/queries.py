@@ -1452,16 +1452,18 @@ def q_ann_quantized_rescore(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
-    """Gap-based sessionization of the event stream (gap >= 4 h starts
+    """Gap-based sessionization of the event stream (gap > 4 h starts
     a new session) with per-session aggregates — the canonical
     event-analytics window operator.
 
-    Boundary semantics match ``F.session_window`` exactly: a session
-    window is the half-open ``[start, last_ts + gap)``, so an event
-    arriving EXACTLY gap after its predecessor opens a new session in
-    both the batch form (this predicate) and the streaming form
-    (``streaming.streaming_sessions``) — stream == batch row-for-row
-    including the exact-gap edge.
+    Boundary semantics match ``F.session_window`` exactly — which
+    MERGES an event arriving exactly gap after its predecessor (probed
+    empirically on Spark 4.1.2: two events 4 h apart under a 4 h
+    session_window form ONE session; the half-open-window reading that
+    previously justified a ``>=`` predicate here was wrong, caught by
+    the random-event-corpus fuzz whose gap mixture plants exact-gap
+    same-user pairs).  So the batch predicate is STRICT >: stream ==
+    batch row-for-row including the exact-gap edge.
 
     Determinism: gaps are compared in EXACT integer microseconds
     (unix_micros / epoch_us), the running session index is an integer
@@ -1482,7 +1484,7 @@ def q_events_sessionize(spark, sf_dir):
                   _dec("value").alias("v"))
     e = e.select("user_id", "us", "v",
                  F.when(F.lag("us").over(w).isNull()
-                        | ((F.col("us") - F.lag("us").over(w)) >= gap_us),
+                        | ((F.col("us") - F.lag("us").over(w)) > gap_us),
                         F.lit(1)).otherwise(F.lit(0)).alias("new_sess"))
     e = e.select("user_id", "us", "v",
                  F.sum("new_sess").over(

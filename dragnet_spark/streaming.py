@@ -114,9 +114,10 @@ def streaming_sessions(events: DataFrame, gap: str = "4 hours") -> DataFrame:
     under ``gap``, closing the window ``gap`` after the last event —
     the streaming form of :func:`dragnet_spark.queries.
     q_events_sessionize` (which computes the same sessions with lag +
-    running-sum windows in batch; its ``>= gap`` boundary predicate
-    mirrors the half-open ``[start, last_ts + gap)`` window here, so
-    the two forms agree row-for-row INCLUDING events exactly gap
+    running-sum windows in batch; ``session_window`` MERGES an event
+    exactly gap after its predecessor — probed on Spark 4.1.2 — so the
+    batch predicate is strict ``> gap`` and the two forms agree
+    row-for-row INCLUDING events exactly gap
     apart).  State per (user, open session) is
     evicted once the watermark passes the session close, so memory is
     bounded by the lateness horizon times the active-user count, not

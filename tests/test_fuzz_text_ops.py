@@ -49,7 +49,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as entry_mod
 from dragnet_spark.queries import QUERIES
 from dragnet_spark.oracle_sql import ORACLE_SQL
 
@@ -257,3 +256,88 @@ def test_training_ops_random_corpus(spark, tmp_path, seed):
     geom = write_fuzz_corpus(seed, str(tmp_path))
     failures = check_corpus(spark, str(tmp_path))
     assert not failures, f"seed {seed} geometry {geom}: {failures}"
+
+
+# ---- handcrafted extreme geometries ---------------------------------
+# Shapes the random draws essentially never produce: every group a
+# singleton, or everything in ONE group/bucket/component.
+
+def _write_extreme(kind: str, out_dir: str) -> None:
+    if kind == "all_dup_docs":          # one text everywhere: one giant
+        n = 120                         # fingerprint group + dup ranks
+        texts = ["the a table row scan fast" for _ in range(n)]
+    elif kind == "single_doc":          # every per-corpus agg over 1 row
+        n, texts = 1, ["key value the a merge"]
+    else:
+        raise AssertionError(kind)
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["src0"] * n, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{out_dir}/documents.parquet")
+    # Events: ONE user, strictly 1 s apart (one session, every
+    # per-channel stat over a single group); single error burst so the
+    # mask-interval join still has a nonempty zap set.
+    n_ev = 400
+    pq.write_table(pa.Table.from_pydict({
+        "event_id": pa.array(np.arange(n_ev, dtype=np.int64), pa.int64()),
+        "ts": pa.array(_EPOCH_US + np.arange(n_ev, dtype=np.int64)
+                       * 1_000_000, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n_ev, dtype=np.int64), pa.int64()),
+        "event_type": pa.array(["error" if 100 <= i < 110 else "click"
+                                for i in range(n_ev)], pa.string()),
+        "value": pa.array((np.arange(n_ev) % 977 + 1) / 100.0,
+                          pa.float64()),
+        "props": pa.array(['{"k": 1}'] * n_ev, pa.string()),
+    }), f"{out_dir}/events.parquet")
+    # Embeddings: ONE direction (every cosine exactly 1; all vectors
+    # land in one LSH bucket/cell — the maximal-skew bucket join).
+    n_vec, dim = 50, 64
+    base = (np.arange(1, dim + 1, dtype=np.float32) / 64.0)
+    emb = np.tile(base, (n_vec, 1))
+    pq.write_table(pa.Table.from_pydict({
+        "vec_id": pa.array(np.arange(n_vec, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n_vec, dtype=np.int32), pa.int32()),
+    }), f"{out_dir}/embeddings.parquet")
+    pq.write_table(pa.Table.from_pydict({
+        "o_orderkey": pa.array(np.ones(300, dtype=np.int64), pa.int64()),
+    }), f"{out_dir}/orders.parquet")
+
+
+@pytest.mark.parametrize("kind", ["all_dup_docs", "single_doc"])
+def test_training_ops_extreme_corpus(spark, tmp_path, kind):
+    _write_extreme(kind, str(tmp_path))
+    failures = check_corpus(spark, str(tmp_path))
+    assert not failures, f"{kind}: {failures}"
+
+
+@pytest.mark.parametrize("seed", range(min(N_SEEDS, 2)))
+def test_streaming_sessions_match_batch_on_random_events(
+        spark, tmp_path, seed):
+    """session_window streaming vs the batch lag/running-sum form on
+    the RANDOM event tables — whose gap mixture plants exact-4-hour
+    same-user gaps, the boundary where the two forms historically
+    disagreed (r4 ADVICE: batch '>' vs session_window's half-open
+    window; both now use >= gap semantics)."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.queries import q_events_sessionize
+    from dragnet_spark.streaming import run_streaming_sessions
+
+    write_fuzz_corpus(seed, str(tmp_path))
+    batch = {(r.user_id, r.start_us): (r.n_events, r.end_us, r.sum_value)
+             for r in q_events_sessionize(spark, str(tmp_path)).collect()}
+    got = run_streaming_sessions(spark, str(tmp_path),
+                                 table=f"t_sess_fuzz_{seed}")
+    stream = {(r.user_id, r.su): (r.n_events, r.eu, r.sum_value)
+              for r in got.select(
+                  "user_id", "n_events", "sum_value",
+                  F.unix_micros(F.col("first_ts").cast("timestamp"))
+                   .alias("su"),
+                  F.unix_micros(F.col("last_ts").cast("timestamp"))
+                   .alias("eu")).collect()}
+    assert len(batch) > 0
+    assert stream == batch
