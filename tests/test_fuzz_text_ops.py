@@ -213,7 +213,20 @@ def _cells_equal(a, b) -> bool:
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb
+        if fa == fb:
+            return True
+        # ROUND(x, 6) midpoint-convention allowance, the random-corpus
+        # counterpart of the flagship fuzz's rounding-margin skip: a
+        # random 2-decimal sum divided by a 2^a*5^b group count can
+        # land EXACTLY on a .5 at the 7th decimal (seed 15:
+        # 8408.89/32 = 262.7778125), where Spark's HALF_UP on the
+        # double's exact binary expansion and DuckDB's scaled-double
+        # rounding legitimately pick adjacent 6th-decimal values.  The
+        # fixed-corpus gate stays bit-exact; here a one-unit-in-the-
+        # last-rounded-place difference is convention, not a bug —
+        # anything structural still fails (row counts, exact BIGINT
+        # columns, and any float off by >= 2e-6).
+        return abs(fa - fb) <= 1.05e-6
     return a == b
 
 
