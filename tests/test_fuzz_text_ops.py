@@ -281,6 +281,12 @@ def _write_extreme(kind: str, out_dir: str) -> None:
         texts = ["the a table row scan fast" for _ in range(n)]
     elif kind == "single_doc":          # every per-corpus agg over 1 row
         n, texts = 1, ["key value the a merge"]
+    elif kind == "empty":
+        # ZERO rows in every table: each query must degrade to an
+        # empty (or summary-only) relation identically on both
+        # engines, never crash — the empty-partition shape every
+        # 10^12-doc job's stragglers and filters produce.
+        n, texts = 0, []
     else:
         raise AssertionError(kind)
     pq.write_table(pa.Table.from_pydict({
@@ -293,7 +299,7 @@ def _write_extreme(kind: str, out_dir: str) -> None:
     # Events: ONE user, strictly 1 s apart (one session, every
     # per-channel stat over a single group); single error burst so the
     # mask-interval join still has a nonempty zap set.
-    n_ev = 400
+    n_ev = 0 if kind == "empty" else 400
     pq.write_table(pa.Table.from_pydict({
         "event_id": pa.array(np.arange(n_ev, dtype=np.int64), pa.int64()),
         "ts": pa.array(_EPOCH_US + np.arange(n_ev, dtype=np.int64)
@@ -307,7 +313,7 @@ def _write_extreme(kind: str, out_dir: str) -> None:
     }), f"{out_dir}/events.parquet")
     # Embeddings: ONE direction (every cosine exactly 1; all vectors
     # land in one LSH bucket/cell — the maximal-skew bucket join).
-    n_vec, dim = 50, 64
+    n_vec, dim = (0 if kind == "empty" else 50), 64
     base = (np.arange(1, dim + 1, dtype=np.float32) / 64.0)
     emb = np.tile(base, (n_vec, 1))
     pq.write_table(pa.Table.from_pydict({
@@ -316,11 +322,13 @@ def _write_extreme(kind: str, out_dir: str) -> None:
         "label": pa.array(np.zeros(n_vec, dtype=np.int32), pa.int32()),
     }), f"{out_dir}/embeddings.parquet")
     pq.write_table(pa.Table.from_pydict({
-        "o_orderkey": pa.array(np.ones(300, dtype=np.int64), pa.int64()),
+        "o_orderkey": pa.array(
+            np.ones(0 if kind == "empty" else 300, dtype=np.int64),
+            pa.int64()),
     }), f"{out_dir}/orders.parquet")
 
 
-@pytest.mark.parametrize("kind", ["all_dup_docs", "single_doc"])
+@pytest.mark.parametrize("kind", ["all_dup_docs", "single_doc", "empty"])
 def test_training_ops_extreme_corpus(spark, tmp_path, kind):
     _write_extreme(kind, str(tmp_path))
     failures = check_corpus(spark, str(tmp_path))
