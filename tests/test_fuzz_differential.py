@@ -28,6 +28,8 @@ D3 dedispersion + D4 overlap trim (dragnet.cu:301-307).
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import numpy as np
 import pytest
@@ -42,8 +44,13 @@ from dragnet_spark.pipeline import run_pipeline, run_pipeline_chunked
 from dragnet_spark.plan import delay_samples, delay_table, linear_dm_list
 
 CORPUS = "tiny"
-N_SEEDS = 12
-MIN_EXECUTED = 7          # the skip guards must not hollow the test out
+N_SEEDS = int(os.environ.get("DRAGNET_FUZZ_CONFIG_SEEDS", "12"))
+# Sweep entropy shift (same contract as test_fuzz_text_ops): seeds
+# [BASE, BASE+N) so successive sweeps draw FRESH configs.
+SEED_BASE = int(os.environ.get("DRAGNET_FUZZ_CONFIG_BASE", "0"))
+# The skip guards must not hollow the test out; scales with N_SEEDS
+# (the guards historically skip ~1/4 of draws).
+MIN_EXECUTED = max(1, (N_SEEDS * 7) // 12)
 
 
 def _draw(seed: int):
@@ -139,7 +146,7 @@ def test_random_configs_match_duckdb(spark):
     con = duckdb.connect()
     docs = corpus_df(spark, CORPUS)
     executed = 0
-    for seed in range(N_SEEDS):
+    for seed in range(SEED_BASE, SEED_BASE + N_SEEDS):
         drawn = _draw(seed)
         if drawn is None:
             continue

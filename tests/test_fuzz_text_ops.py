@@ -53,6 +53,11 @@ from dragnet_spark.queries import QUERIES
 from dragnet_spark.oracle_sql import ORACLE_SQL
 
 N_SEEDS = int(os.environ.get("DRAGNET_FUZZ_TEXT_SEEDS", "3"))
+# Sweep entropy shift: seeds [BASE, BASE+N) — lets successive sweep
+# sessions draw FRESH corpora instead of re-verifying the same ones
+# (seed s is fully determined by [7373, s], so shifting the base is
+# the only way to widen the explored geometry space).
+SEED_BASE = int(os.environ.get("DRAGNET_FUZZ_TEXT_BASE", "0"))
 
 # Tables the fuzz generates; queries over anything else are excluded.
 _EXCLUDED = {"pricing_summary", "revenue_by_nation"}
@@ -264,7 +269,7 @@ def check_corpus(spark, sf_dir: str, names=FUZZ_QUERIES) -> list[str]:
     return failures
 
 
-@pytest.mark.parametrize("seed", range(N_SEEDS))
+@pytest.mark.parametrize("seed", range(SEED_BASE, SEED_BASE + N_SEEDS))
 def test_training_ops_random_corpus(spark, tmp_path, seed):
     geom = write_fuzz_corpus(seed, str(tmp_path))
     failures = check_corpus(spark, str(tmp_path))
@@ -335,7 +340,8 @@ def test_training_ops_extreme_corpus(spark, tmp_path, kind):
     assert not failures, f"{kind}: {failures}"
 
 
-@pytest.mark.parametrize("seed", range(min(N_SEEDS, 2)))
+@pytest.mark.parametrize("seed",
+                         range(SEED_BASE, SEED_BASE + min(N_SEEDS, 2)))
 def test_streaming_sessions_match_batch_on_random_events(
         spark, tmp_path, seed):
     """session_window streaming vs the batch lag/running-sum form on
