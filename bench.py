@@ -15,9 +15,10 @@ N-vs-4N pairs — 2 vs 8 and 8 vs 32 — with median throughput and
 scaling efficiency eff = tput(4N)/(4*tput(N)) (target >= 0.8), writing
 ``BENCH/BASELINE.md``.  Each level is CPU-pinned (taskset) so local[N]
 really gets N cores, as N single-core executors would.  Scaling runs
-use the same ``bench`` corpus as the driver bench (identical input at
-every level is what the efficiency ratio requires); pass
-``--corpus scale`` for the 4x-larger variant.
+default to the 4096-doc ``scale`` corpus (identical input at every
+level is what the efficiency ratio requires; the 4x work per run
+amortizes fixed per-run overhead the way a real long job does — see
+``SCALING_CORPUS``); pass ``--corpus bench`` for the small variant.
 
 ``--flagship-only --cores N`` is the subprocess worker for --scaling
 (separate process per parallelism level so each JVM gets a clean
@@ -38,7 +39,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-BENCH_CORPUS = "bench"      # driver bench + scaling: 1024 docs, ~1.4 GB
+BENCH_CORPUS = "bench"      # driver bench: 1024 docs, ~1.4 GB
+SCALING_CORPUS = "scale"    # --scaling: 4096 docs, ~5.3 GB.  The 4x
+# work per run amortizes the ~2 s parallelism-independent per-run cost
+# (driver planning/scheduling/result-agg sharing the pinned cores)
+# that dominates a 6-second local[8] run on the 1024-doc corpus but is
+# noise on a real multi-hour job — the large corpus is the faithful
+# regime for the N->4N efficiency ratio.
 
 
 def _timed(fn) -> float:
@@ -502,7 +509,11 @@ def main() -> None:
     p.add_argument("--flagship-only", action="store_true")
     p.add_argument("--cores", type=int, default=32)
     p.add_argument("--runs", type=int, default=3)
-    p.add_argument("--corpus", default=BENCH_CORPUS)
+    p.add_argument("--corpus", default=None,
+                   help="corpus name (default: bench for the driver "
+                        "bench / --flagship-only, scale for --scaling "
+                        "— the 4x-work corpus that amortizes per-run "
+                        "fixed overhead the way a real long job does)")
     p.add_argument("--warmups", type=int, default=2)
     p.add_argument("--pin", metavar="BENCH_JSON",
                    help="commit a driver-bench output file as the "
@@ -521,9 +532,10 @@ def main() -> None:
         }, indent=1) + "\n")
         print(f"pinned {len(d['queries'])} queries, wall {d['value']} s")
     elif a.flagship_only:
-        flagship_only(a.cores, a.runs, a.corpus, a.warmups)
+        flagship_only(a.cores, a.runs, a.corpus or BENCH_CORPUS,
+                      a.warmups)
     elif a.scaling:
-        scaling(a.runs, a.corpus, a.warmups)
+        scaling(a.runs, a.corpus or SCALING_CORPUS, a.warmups)
     else:
         driver_bench()
 

@@ -145,7 +145,14 @@ def write_corpus_parquet_spark(spark, corpus: str, path: str,
     from .pipeline import DOCS_SCHEMA as schema
 
     ndocs = CORPORA[corpus][0]
-    nparts = partitions or spark.sparkContext.defaultParallelism
+    # Bound DOCS PER WRITER TASK, not task count: each writer buffers a
+    # full parquet row group of MB-wide rows, so 128 docs/task (the
+    # 4096-doc corpus at defaultParallelism=32) OOMs a 16 GB heap.
+    # 32 docs/task is the shape the 1024-doc corpus has always used;
+    # the extra output files also give downstream scans enough splits
+    # to fill every core at high parallelism.
+    nparts = partitions or max(spark.sparkContext.defaultParallelism,
+                               -(-ndocs // 32))
 
     def gen(batches):
         for pdf in batches:
