@@ -187,6 +187,14 @@ code has measured 2->8 medians from 0.73 to 1.05 on different days
 (run-to-run VM jitter documented below); single-session values near
 the 0.8 boundary should be read with that spread in mind.
 
+Corpus-size note: the sweep defaults to the 4096-doc `scale` corpus
+because a ~2 s parallelism-independent per-run cost (driver planning,
+scheduling and result aggregation sharing the pinned cores) is ~31%
+of a local[8] run on the 1024-doc corpus — mechanically capping the
+measurable 2->8 ratio at ~0.77 — but only ~5% at 4x the work.  A real
+job over the north rule's 10^12-document table runs for hours, so the
+amortized regime is the faithful one.
+
 Single-box caveat (documented for honesty): all local[N] levels share
 ONE kernel, one loopback network and one memory bus.  Profiling shows
 the per-document Arrow boundary (JVM <-> Python worker sockets + page
