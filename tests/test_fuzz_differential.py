@@ -479,3 +479,142 @@ def test_random_clip_configs_match_duckdb(spark):
         "widen the draw space"
     assert total_clipped > 0, \
         "no draw ever clipped a sample — the replacement path went unfuzzed"
+
+
+# ---------------------------------------------------------------------------
+# Chunked-path composition fuzz: chunked == plain at random FULL stage mixes
+# ---------------------------------------------------------------------------
+
+N_COMPO_SEEDS = int(os.environ.get("DRAGNET_FUZZ_COMPO_SEEDS", "10"))
+COMPO_BASE = int(os.environ.get("DRAGNET_FUZZ_COMPO_BASE", "0"))
+MIN_COMPO_EXECUTED = max(1, (N_COMPO_SEEDS * 7) // 12)
+
+
+def _draw_composition(seed: int):
+    """Random FULL stage mix for the chunked-vs-plain parity fuzz:
+    zap x rfifind mask (random ptsperint / per-interval channel lists /
+    float padvals) x SK x ndec x D5 adaptive scrunch x DM-list kind
+    (incl. the Levin optimal list, dm_step=0) x blocksize x
+    blocks_per_chunk, all drawn together.
+
+    Truth is the plain ``run_pipeline`` path — itself
+    differential-tested against DuckDB above and against the NumPy
+    oracle in test_extractor — so the draw space is UNRESTRICTED like
+    the streaming fuzz (no dyadic-exactness guards needed; both paths
+    run the same float32 kernels and must agree bit-for-bit).  The one
+    contractual exclusion is a RUNNING clipper (EWMA is sequential per
+    document, so the chunked path refuses ``clip_sigma > 0`` WITH a
+    mask); a clip-enabled cfg WITHOUT a mask never clips and is drawn
+    on purpose to keep that acceptance edge exercised."""
+    from dragnet_spark.generate import make_document
+    from dragnet_spark.plan import build_plan
+    from dragnet_spark.spans import decode_document
+
+    _ndocs, nchan, t, tsamp = CORPORA[CORPUS]
+    rng = np.random.default_rng([424242, seed])
+    header, _, _ = decode_document(make_document(CORPUS, 0)["spans"])
+
+    ndec = int(rng.choice([1, 2, 4]))
+    use_mask = bool(rng.integers(0, 2))
+    mask = None
+    if use_mask:
+        ppi = int(rng.choice([32, 64, 128]))
+        numint = -(-t // ppi)
+        mask = MaskSpec(
+            mask_id=f"fzcompo{seed}", timesigma=10.0, freqsigma=4.0,
+            mjd=Header().tstart, dtint=ppi * tsamp,
+            lofreq=Header().fch1 - (nchan - 1) * abs(Header().foff),
+            dfreq=abs(Header().foff), numchan=nchan, numint=numint,
+            ptsperint=ppi,
+            zap_chans=sorted(int(c) for c in rng.choice(
+                nchan, size=int(rng.integers(0, 3)), replace=False)),
+            zap_ints=sorted(int(i) for i in rng.choice(
+                numint, size=int(rng.integers(0, 2)), replace=False)),
+            chans_per_int=[
+                sorted(int(c) for c in rng.choice(
+                    nchan, size=int(rng.integers(0, 4)), replace=False))
+                for _ in range(numint)],
+            padvals=[float(v) for v in rng.uniform(20.0, 40.0, size=nchan)],
+        )
+    base = dict(
+        config_id=f"fzcompo{seed}", prefix="test",
+        zapchan=str(rng.choice(["", "0", "2:4", "0,3:5,9"])),
+        use_mask=use_mask,
+        # Chunked refuses a RUNNING clipper (clip>0 AND a mask); a
+        # clip-enabled maskless cfg never clips and must be accepted.
+        clip_sigma=(0.0 if use_mask else float(rng.choice([0.0, 4.0]))),
+        use_skz=bool(rng.integers(0, 2)), mskz=int(rng.choice([32, 64])),
+        ndec=ndec, use_dt=bool(rng.integers(0, 3) == 0),
+        dm_start=float(rng.choice([0.0, 2.5])),
+        dm_end=float(rng.choice([30.0, 50.0])),
+        dm_step=float(rng.choice([0.0, 2.5, 5.0])),   # 0 => Levin list
+    )
+    cfg = None
+    for bs in rng.permutation([96, 128, 192, 256]):   # nonzero: real
+        try:                                          # multi-chunk split
+            cand = RunConfig(blocksize=int(bs), **base)
+            build_plan(header, cand, mask)
+            cfg = cand
+            break
+        except ValueError:            # blocksize//ndec <= max_delay
+            continue
+    if cfg is None:
+        return None
+    return cfg, mask, 1 + seed % 3
+
+
+def test_random_compositions_chunked_parity(spark):
+    """Differential fuzz of the CHUNKED pipeline plumbing (the
+    production giant-document path: JVM strip slicing, halo-extended
+    chunks, per-chunk block loops, JVM reassembly, metrics
+    aggregation) at random FULL stage mixes: every drawn config's
+    chunked output span sequence must equal the plain path's
+    bit-for-bit.  The fixed chunked tests pin single stages (mask,
+    SK-short-final-chunk, use_dt, decimation) at one geometry each and
+    the mask/config fuzzes above run chunked replicas inside the
+    SQL-expressible subspace; this sweep crosses ALL the stages —
+    including SK + mask + Levin DM lists + scrunch TOGETHER — where no
+    SQL oracle exists, with the plain pipeline as truth."""
+    docs = corpus_df(spark, CORPUS)
+    executed = 0
+    stages_seen = set()
+    for seed in range(COMPO_BASE, COMPO_BASE + N_COMPO_SEEDS):
+        drawn = _draw_composition(seed)
+        if drawn is None:
+            continue
+        cfg, mask, bpc = drawn
+        label = (f"compo seed {seed} (cfg={cfg.to_json()}, "
+                 f"mask={'yes' if mask else 'no'}, bpc={bpc})")
+
+        def seqs(rows_df):
+            out: dict = {}
+            for r in (rows_df.where("kind <> 'metrics'")
+                      .orderBy("doc_id", "seq").collect()):
+                out.setdefault(r.doc_id, []).append(
+                    (r.kind, r.text, r.media_ref))
+            return out
+
+        want = seqs(run_pipeline(docs, cfg, mask))
+        got = seqs(run_pipeline_chunked(docs, cfg, mask,
+                                        blocks_per_chunk=bpc))
+        assert got.keys() == want.keys(), label
+        for doc_id in want:
+            assert got[doc_id] == want[doc_id], \
+                f"{label}: span sequence diverged for {doc_id}"
+        executed += 1
+        stages_seen |= {s for s, on in [
+            ("mask", mask is not None), ("skz", cfg.use_skz),
+            ("dt", cfg.use_dt), ("dec", cfg.ndec > 1),
+            ("zap", bool(cfg.zapchan)),
+            ("levin", cfg.dm_step == 0.0)] if on}
+    assert executed >= MIN_COMPO_EXECUTED, \
+        f"only {executed} of {N_COMPO_SEEDS} composition draws executed — " \
+        "widen the draw space"
+    # Stage-coverage guard pinned to the DEFAULT sweep only (the
+    # default seeds are known to hit every stage); a fresh-entropy
+    # sweep (different COMPO_BASE) may legitimately miss a 1-in-3
+    # stage and must not fail spuriously.
+    if COMPO_BASE == 0 and N_COMPO_SEEDS == 10:
+        need = {"mask", "skz", "dt", "dec", "zap", "levin"}
+        assert need <= stages_seen, \
+            f"default sweep never drew stages {sorted(need - stages_seen)}"
