@@ -483,10 +483,13 @@ WITH g AS (
   FROM events GROUP BY 1, 2
 )
 SELECT window_start, chan, m,
-       ROUND(s1, 6) AS zero_dm,
+       -- + 0.0 normalizes ROUND's -0.0 to +0.0 (DuckDB's C round
+       -- keeps the sign of a tiny negative, Spark's HALF_UP does
+       -- not); the Spark side applies the same normalization.
+       ROUND(s1, 6) + 0.0 AS zero_dm,
        CASE WHEN m > 1 AND s1 <> 0.0 THEN
          ROUND((CAST(m AS DOUBLE) * 12.0 + 1.0) / (CAST(m AS DOUBLE) - 1.0)
-               * (CAST(m AS DOUBLE) * s2 / (s1 * s1) - 1.0), 6)
+               * (CAST(m AS DOUBLE) * s2 / (s1 * s1) - 1.0), 6) + 0.0
        END AS sk
 FROM g
 """

@@ -40,9 +40,15 @@ def windowed_stats(events: DataFrame, window: str = "1 hour") -> DataFrame:
         (md * NDEG + 1.0) / (md - 1.0) * (md * F.col("s2")
                                           / (F.col("s1") * F.col("s1"))
                                           - 1.0))
+    # `+ 0.0` normalizes a -0.0 to +0.0 (IEEE round-to-nearest; NULLs
+    # pass through): ROUND of a tiny negative double keeps the sign in
+    # DuckDB (C round) but not in Spark (BigDecimal HALF_UP), so a
+    # window whose sk lands at -1e-15 would bit-mismatch the oracle on
+    # the zero's sign alone (first seen at sf0.1).  Both sides apply
+    # the same normalization.
     return g.select(F.col("w.start").alias("window_start"), "chan", "m",
-                    F.round("s1", 6).alias("zero_dm"),
-                    F.round(sk, 6).alias("sk"))
+                    (F.round("s1", 6) + F.lit(0.0)).alias("zero_dm"),
+                    (F.round(sk, 6) + F.lit(0.0)).alias("sk"))
 
 
 def stream_events(spark: SparkSession, sf_dir: str,

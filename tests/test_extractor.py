@@ -660,3 +660,18 @@ def test_run_job_resume_random_partial_states(spark, tmp_path):
     assert executed >= 5, \
         f"only {executed} of 6 drawn configs executed — " \
         "the validity guards hollowed the sweep out"
+
+def test_run_job_empty_input_no_resume(spark, tmp_path):
+    """resume=False over an EMPTY input must return cleanly — a
+    dynamically-built doc set can legitimately be empty (a
+    date-partition filter matching nothing) — and must not crash the
+    checkpoint derivation on a spans dir holding no schema-bearing
+    part files.  A later real run into the same out_dir then works."""
+    _, df = _docs_df(spark, "tiny")
+    cfg = scenario_configs("tiny")["s0"]
+    out = str(tmp_path / "o")
+    r = run_job(spark, df.limit(0), cfg, None, out, run_id="x",
+                resume=False)
+    assert r["n_input"] is None and r["n_processed"] is None
+    r2 = run_job(spark, df, cfg, None, out, run_id="x", resume=True)
+    assert r2["n_processed"] == 4 and r2["n_skipped"] == 0
