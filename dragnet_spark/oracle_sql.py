@@ -58,7 +58,9 @@ WITH g AS (
          * (CAST(m AS DOUBLE) * s2 / (s1 * s1) - 1.0) AS sk_raw
   FROM g WHERE m > 1 AND s1 <> 0.0
 )
-SELECT chan, t_bucket, m, ROUND(sk_raw, 6) AS sk,
+SELECT chan, t_bucket, m,
+       -- + 0.0: zero-sign normalization, mirrored in the Spark query
+       ROUND(sk_raw, 6) + 0.0 AS sk,
        CAST(sk_raw < 0.8 OR sk_raw > 1.2 AS INT) AS masked
 FROM s
 """
@@ -297,16 +299,17 @@ WITH g AS (
   FROM ranked
 ), pads AS (
   SELECT user_id AS chan,
+         -- + 0.0: zero-sign normalization, mirrored in the Spark query
          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*), 6) AS padval,
+               / COUNT(*), 6) + 0.0 AS padval,
          COUNT(*) AS n_kept
   FROM lims WHERE rn > strt AND rn <= strt + ln
   GROUP BY user_id
 )
 SELECT chan, n,
-       ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean_value,
+       ROUND(s1 / CAST(n AS DOUBLE), 6) + 0.0 AS mean_value,
        ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
-             / (CAST(n AS DOUBLE) - 1.0), 6) AS var_samp_value,
+             / (CAST(n AS DOUBLE) - 1.0), 6) + 0.0 AS var_samp_value,
        padval, n_kept
 FROM g JOIN pads USING (chan)
 """

@@ -103,9 +103,13 @@ def q_sk_estimator(spark, sf_dir):
     m = F.col("m").cast("double")
     sk = (m * nd + 1.0) / (m - 1.0) * (m * F.col("s2")
                                        / (F.col("s1") * F.col("s1")) - 1.0)
+    # `+ 0.0` normalizes ROUND's -0.0 to +0.0 — DuckDB's C round keeps
+    # the sign of a tiny negative, Spark's HALF_UP does not (the
+    # zero-sign class the sf0.1 bit sweep caught on windowed_stats'
+    # identical formula); the oracle applies the same normalization.
     return (g.where((F.col("m") > 1) & (F.col("s1") != 0.0))
             .select("chan", "t_bucket", "m",
-                    F.round(sk, 6).alias("sk"),
+                    (F.round(sk, 6) + F.lit(0.0)).alias("sk"),
                     ((sk < 0.8) | (sk > 1.2)).cast("int").alias("masked")))
 
 
@@ -405,9 +409,14 @@ def q_channel_stats(spark, sf_dir):
               F.count(F.lit(1)).alias("n")))
     n = F.col("n").cast("double")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1.0)
+    # `+ 0.0`: zero-sign normalization (see q_sk_estimator) — var's
+    # cancellation (s2 - s1^2/n) and a tiny mean at large n can both
+    # land in (-5e-7, 0), where ROUND's -0.0 convention differs
+    # between the engines.
     stats = g.select("chan", "n",
-                     F.round(F.col("s1") / n, 6).alias("mean_value"),
-                     F.round(var, 6).alias("var_samp_value"))
+                     (F.round(F.col("s1") / n, 6) + F.lit(0.0))
+                     .alias("mean_value"),
+                     (F.round(var, 6) + F.lit(0.0)).alias("var_samp_value"))
     w = Window.partitionBy("user_id").orderBy("value", "event_id")
     ranked = (e.select("user_id", "value", "event_id")
               .withColumn("rn", F.row_number().over(w))
@@ -417,8 +426,9 @@ def q_channel_stats(spark, sf_dir):
     start = F.floor((F.col("nn") - ln) / 2)
     pads = (ranked.where((F.col("rn") > start) & (F.col("rn") <= start + ln))
             .groupBy(F.col("user_id").alias("chan"))
-            .agg(F.round(F.sum(_dec("value")).cast("double")
-                         / F.count(F.lit(1)), 6).alias("padval"),
+            .agg((F.round(F.sum(_dec("value")).cast("double")
+                          / F.count(F.lit(1)), 6) + F.lit(0.0))
+                 .alias("padval"),
                  F.count(F.lit(1)).alias("n_kept")))
     return stats.join(pads, "chan")
 
