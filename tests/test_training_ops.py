@@ -981,3 +981,40 @@ def test_quant_codes_reconstruction_bound(spark, tmp_path):
         assert q.min() >= -127 and q.max() <= 127
         err = np.abs(x - q * scale)
         assert (err <= scale / 2 + 1e-12 * scale).all(), (vid, err.max())
+
+
+def test_round_zero_sign_convention_normalized(spark):
+    """Pin the cross-engine ROUND zero-sign convention the sf0.1 bit
+    sweep exposed: a tiny negative double rounds to -0.0 under
+    DuckDB's C round but to +0.0 under Spark's BigDecimal HALF_UP —
+    float-equal, bit-different — and '+ 0.0' normalizes both to +0.0
+    (IEEE round-to-nearest never yields -0.0 from (-0.0) + (+0.0))
+    while passing NULL through.  The near-zero rounded columns
+    (windowed_stats / sk_estimator sk, channel_stats mean/var/padval)
+    carry this normalization on BOTH sides; if either engine ever
+    changes its convention this fails here, not as a one-cell bit
+    mismatch at scale."""
+    import struct
+
+    import duckdb
+
+    def bits(x):
+        return struct.pack("<d", x).hex()
+
+    d_raw, d_norm, d_null = duckdb.sql(
+        "SELECT ROUND(-1e-9, 6), ROUND(-1e-9, 6) + 0.0, "
+        "CAST(NULL AS DOUBLE) + 0.0").fetchone()
+    assert bits(d_raw) == bits(-0.0)        # C round keeps the sign
+    assert bits(d_norm) == bits(0.0)
+    assert d_null is None
+    r = spark.sql(
+        "SELECT round(CAST(-1e-9 AS DOUBLE), 6) AS raw, "
+        "round(CAST(-1e-9 AS DOUBLE), 6) + 0.0D AS norm, "
+        "CAST(NULL AS DOUBLE) + 0.0D AS n").collect()[0]
+    assert bits(r.raw) == bits(0.0)         # HALF_UP drops the sign
+    assert bits(r.norm) == bits(0.0)
+    assert r.n is None
+    # The normalization is the identity on nonzero values (both engines).
+    assert duckdb.sql(
+        "SELECT ROUND(1.2345675, 6) + 0.0 = ROUND(1.2345675, 6)"
+    ).fetchone()[0]
