@@ -113,6 +113,25 @@ def flagship_only(cores: int, runs: int, corpus: str = BENCH_CORPUS,
                       "median_sec": med, "docs_per_sec": ndocs / med}))
 
 
+HISTORY_HEADER = "## Sweep history"
+
+
+def _carry_history(baseline_path: Path) -> list[str]:
+    """Prior sweep rows from the existing BASELINE.md, so regenerating
+    the file (every ``--scaling`` run rewrites it, including the
+    driver's inter-round run) stops destroying the cross-session
+    evidence the scaling verdict leans on."""
+    if not baseline_path.exists():
+        return []
+    lines = baseline_path.read_text().splitlines()
+    try:
+        start = next(i for i, ln in enumerate(lines)
+                     if ln.startswith(HISTORY_HEADER))
+    except StopIteration:
+        return []
+    return [ln for ln in lines[start:] if ln.startswith("| 20")]
+
+
 def scaling(runs: int, corpus: str = BENCH_CORPUS, warmups: int = 4) -> None:
     results = {}
     for cores in (2, 8, 32):
@@ -141,6 +160,9 @@ def scaling(runs: int, corpus: str = BENCH_CORPUS, warmups: int = 4) -> None:
     eff832_min = tmin[32] / (4.0 * tmin[8])
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    history = _carry_history(bench_dir / "BASELINE.md")
+    new_row = (f"| {time.strftime('%Y-%m-%d')} | {corpus} | {runs} "
+               f"| {eff28:.3f} | {eff832:.3f} |")
 
     def row(c, label):
         r = results[c]
@@ -246,6 +268,17 @@ the warm-up phase before any timing, so per-query rows measure the
 query.  Re-pin with `python bench.py --pin <bench-output.json>`.
 
 Reproduce: `python bench.py --scaling`.
+
+{HISTORY_HEADER} (auto-appended; every `--scaling` run adds one row)
+
+Per-run timings of past sweeps live in git history of this file.
+The same committed flagship code produced every row; the spread is
+VM-condition jitter, which is why the verdict reads the whole table,
+not one day's sweep.
+
+| date | corpus | runs/level | eff 2->8 (median) | eff 8->32 (median) |
+|---|---|---|---|---|
+{chr(10).join(history + [new_row])}
 """
     (bench_dir / "BASELINE.md").write_text(md)
     print(json.dumps({"docs_per_sec": tput, "eff_2_to_8": eff28,
