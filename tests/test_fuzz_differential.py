@@ -618,3 +618,103 @@ def test_random_compositions_chunked_parity(spark):
         need = {"mask", "skz", "dt", "dec", "zap", "levin"}
         assert need <= stages_seen, \
             f"default sweep never drew stages {sorted(need - stages_seen)}"
+
+
+# ---------------------------------------------------------------------------
+# Resume-state fuzz: random pre-committed chunk ledgers must resume exactly
+# ---------------------------------------------------------------------------
+
+N_RESUME_SEEDS = int(os.environ.get("DRAGNET_FUZZ_RESUME_SEEDS", "5"))
+RESUME_BASE = int(os.environ.get("DRAGNET_FUZZ_RESUME_BASE", "0"))
+
+
+def test_random_resume_states_chunked(spark, tmp_path):
+    """Resume-contract fuzz (north rule: 'resumable from checkpoint'):
+    for random full-stage compositions, a RANDOM subset of the chunk
+    ledger is pre-committed — simulating a driver kill after an
+    arbitrary set of task commits — and the resumed job must (a) skip
+    exactly the committed chunks, (b) recompute exactly the missing
+    ones with no duplicate ledger rows, and (c) write final span
+    sequences bit-identical to an uninterrupted plain-path run.  The
+    first seed of every sweep pins the extreme state the fixed tests
+    never reach: ALL chunks committed but the spans write lost (a kill
+    DURING reassembly) — resume must recompute zero chunks and still
+    produce the full spans.  The fixed-state coverage lives in
+    test_extractor (chunk_id < 2 at one geometry); this sweep
+    randomizes the composition, the chunk geometry AND the committed
+    set together.  Knobs: DRAGNET_FUZZ_RESUME_SEEDS / _BASE."""
+    from dragnet_spark.pipeline import (build_chunk_rows, chunk_keys,
+                                        prepare_documents,
+                                        process_chunk_rows, run_job)
+    docs = corpus_df(spark, CORPUS)
+    ndocs = CORPORA[CORPUS][0]
+    executed = 0
+    for seed in range(RESUME_BASE, RESUME_BASE + N_RESUME_SEEDS):
+        # 10_000+ keeps these draws disjoint from the compo sweep's.
+        drawn = _draw_composition(10_000 + seed)
+        if drawn is None:
+            continue
+        cfg, mask, bpc = drawn
+        label = f"resume seed {seed} (cfg={cfg.to_json()}, bpc={bpc})"
+        cfg_json = cfg.to_json()
+        mask_json = mask.to_json() if mask else None
+        out = str(tmp_path / f"out{seed}")
+        chunks_path = f"{out}/chunks/rz/{cfg.config_id}"
+
+        prepared = prepare_documents(docs)
+        keys = sorted((r.doc_id, r.chunk_id) for r in
+                      chunk_keys(prepared, cfg_json, mask_json,
+                                 bpc).collect())
+        n_total = len(keys)
+        rng = np.random.default_rng([20260819, seed])
+        if seed == RESUME_BASE:     # kill DURING reassembly: all committed
+            n_pre = n_total
+        else:                       # kill mid-run: any committed subset
+            n_pre = int(rng.integers(0, n_total + 1))
+        pre_keys = [keys[i] for i in
+                    rng.choice(n_total, size=n_pre, replace=False)]
+        if pre_keys:
+            pre_df = spark.createDataFrame(
+                pre_keys, "doc_id string, chunk_id int")
+            pre = (build_chunk_rows(prepared, cfg_json, mask_json, bpc)
+                   .join(pre_df, ["doc_id", "chunk_id"], "left_semi"))
+            process_chunk_rows(pre, cfg_json, mask_json, run_id="rz") \
+                .write.mode("append").parquet(chunks_path)
+
+        r = run_job(spark, docs, cfg, mask, out, run_id="rz",
+                    chunked=True, blocks_per_chunk=bpc)
+        if pre_keys:
+            assert r["n_chunks_skipped"] == n_pre, label
+            assert r["n_chunks_processed"] == n_total - n_pre, label
+        else:
+            # no ledger existed, so the resume read fails and the whole
+            # set recomputes uncounted (n_chunks_processed is None)
+            assert r["n_chunks_skipped"] == 0, label
+            assert r["n_chunks_processed"] is None, label
+        dup = (spark.read.parquet(chunks_path).where("kind = 'metrics'")
+               .groupBy("doc_id", "chunk_id").count()
+               .where("count > 1").count())
+        assert dup == 0, f"{label}: duplicate ledger rows"
+
+        def seqs(rows_df):
+            by_doc: dict = {}
+            for row in (rows_df.where("kind <> 'metrics'")
+                        .orderBy("doc_id", "seq").collect()):
+                by_doc.setdefault(row.doc_id, []).append(
+                    (row.kind, row.text, row.media_ref))
+            return by_doc
+
+        want = seqs(run_pipeline(docs, cfg, mask))
+        got = seqs(spark.read.parquet(f"{out}/spans"))
+        assert got.keys() == want.keys(), label
+        for doc_id in want:
+            assert got[doc_id] == want[doc_id], \
+                f"{label}: resumed spans diverged for {doc_id}"
+        # idempotent: a further resume skips every doc
+        r2 = run_job(spark, docs, cfg, mask, out, run_id="rz",
+                     chunked=True, blocks_per_chunk=bpc)
+        assert r2["n_processed"] == 0 and r2["n_skipped"] == ndocs, label
+        executed += 1
+    assert executed >= max(1, (N_RESUME_SEEDS * 7) // 12), \
+        f"only {executed} of {N_RESUME_SEEDS} resume draws executed — " \
+        "widen the draw space"
