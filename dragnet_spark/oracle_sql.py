@@ -332,29 +332,14 @@ GROUP BY 1, 2
 _HEXBIT = ("CASE WHEN (position(substring(h, {pos}, 1) IN "
            "'0123456789abcdef') - 1) % 2 = 1 THEN 1 ELSE -1 END")
 
+# SimHash, both grains in one tagged relation (r5 slot consolidation,
+# queries.q_dedup_simhash_full): kind='sig' rows carry the per-doc
+# 16-bit signature (doc_b = sentinel -1), kind='pair' rows the
+# Hamming-verified near-dup pairs from the banded 32-bit signature
+# (16 bits saturates this corpus), banded 4x8-bit candidate buckets,
+# exact Hamming (bit_count of xor) <= 1 verification.  One parity
+# aggregation feeds both grains, exactly like the Spark side.
 ORACLE_SQL["dedup_simhash"] = """
-WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-  FROM documents
-), b AS (
-  SELECT doc_id, md5(tok) AS h FROM toks
-), s AS (
-  SELECT doc_id, """ + ",\n         ".join(
-    f"SUM({_HEXBIT.format(pos=i + 1)}) AS s{i}" for i in range(16)
-) + """
-  FROM b GROUP BY doc_id
-)
-SELECT doc_id, CAST(""" + " + ".join(
-    f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16)
-) + """ AS BIGINT) AS simhash
-FROM s
-"""
-
-# SimHash near-dup pairs: 32-bit signature (16 bits saturates this
-# corpus), banded 4x8-bit candidate buckets, exact Hamming (bit_count
-# of xor) <= 1 verification — same arithmetic as
-# queries.q_dedup_simhash_pairs.
-ORACLE_SQL["dedup_simhash_pairs"] = """
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
   FROM documents
@@ -370,13 +355,22 @@ WITH toks AS (
     f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(32)
 ) + """ AS BIGINT) AS sig
   FROM s
+), sig16 AS (
+  -- bit i of both signatures is [s_i > 0], so the 16-bit signature
+  -- is the low 16 bits of the 32-bit one (mirrors the Spark side,
+  -- where the shared projection enables exchange reuse)
+  SELECT doc_id, sig & 65535 AS simhash FROM sig
 ), bands AS (
   SELECT doc_id, sig, b.band,
          (sig >> (8 * b.band)) & 255 AS v
   FROM sig, (SELECT unnest(range(4)) AS band) b
 )
-SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-       CAST(bit_count(xor(a.sig, c.sig)) AS BIGINT) AS hamming
+SELECT 'sig' AS kind, doc_id AS doc_a, CAST(-1 AS BIGINT) AS doc_b,
+       simhash AS value
+FROM sig16
+UNION ALL
+SELECT DISTINCT 'pair' AS kind, a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, c.sig)) AS BIGINT) AS value
 FROM bands a
 JOIN bands c ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id
 WHERE bit_count(xor(a.sig, c.sig)) <= 1
@@ -983,4 +977,44 @@ FROM (
   LEFT JOIN hits h ON f.doc_id = h.doc_id
   LEFT JOIN comps c ON f.doc_id = c.doc_id
 ) s
+"""
+
+# PII scrub (queries.q_pii_redact): deterministic plant from doc_id,
+# then count + redact emails / IPv4 / phones.  The regexes are
+# character-class-only so Java regex (Spark) and RE2 (DuckDB) agree
+# exactly; DuckDB regexp_replace needs the explicit 'g' flag to match
+# Spark's always-global replacement; redaction order (email, ip,
+# phone) is part of the contract.
+ORACLE_SQL["pii_redact"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id
+                   || '@ex' || (doc_id % 7) || '.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' host 192.' || (doc_id % 200)
+                   || '.' || ((doc_id * 3) % 250) || '.'
+                   || (doc_id % 9 + 1)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 01'
+                   || (doc_id % 90 + 10) || ' ' || (doc_id % 9000 + 1000)
+                 ELSE '' END AS txt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(txt,
+         '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(txt,
+         '\+\d[\d -]{7,}\d')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\+\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
+FROM planted
 """

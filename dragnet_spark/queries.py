@@ -518,6 +518,74 @@ def q_dedup_simhash_pairs(spark, sf_dir):
             .distinct())
 
 
+def q_dedup_simhash_full(spark, sf_dir):
+    """SimHash dedup, BOTH grains under one gate entry (r5 slot
+    consolidation, same pattern as robust_stats/ann_ivf_topk): the
+    per-doc 16-bit signature operator (kind='sig') and the
+    Hamming-verified near-dup pairs from the banded 32-bit signature
+    (kind='pair'), computed from ONE tokenize+md5+parity aggregation —
+    the expensive explode+groupBy scan the two standalone operators
+    used to run twice now runs once and feeds both grains.  doc_b is
+    the sentinel -1 on sig rows (not NULL: a nullable bigint reaches
+    pandas as float64/NaN on both engines and the gate's value hash
+    would then compare NaN encodings, not integers).  value = the
+    16-bit signature on sig rows, the Hamming distance on pair rows.
+
+    Scale shape: one explode+groupBy exchange produces the 32 parity
+    sums; the 16-bit signature is the LOW 16 BITS of the 32-bit one
+    (bit i of both is [s_i > 0], so sig16 = sig32 & 0xFFFF — computing
+    it as a projection of the same aggregate keeps all three plan
+    branches the IDENTICAL subtree, which Spark's exchange reuse then
+    computes once: the union's second branch and the self-join's build
+    side are ReusedExchange nodes, test-pinned); the pairs side is the
+    banded bucket self-join (each task touches one band-bucket, never
+    all pairs) with exact bit_count(xor) verification — and tests pin
+    sig rows == q_dedup_simhash and pair rows ==
+    q_dedup_simhash_pairs exactly."""
+    d = _t(spark, sf_dir, "documents")
+    # Explicit isnotnull(doc_id) on the SHARED base: the self-join
+    # pushes this filter into its two branches anyway (doc_id is the
+    # join key), and without it on the union's sig branch the three
+    # subtrees canonicalize differently and exchange reuse cannot
+    # fire — the aggregate would run twice.  doc_id is never null, so
+    # this is a no-op filter that exists purely to keep the branches
+    # identical.
+    d = d.where(F.col("doc_id").isNotNull())
+    toks = (d.select("doc_id", F.explode(
+                F.array_distinct(F.split("text", " "))).alias("tok"))
+            .withColumn("h", F.md5("tok")))
+    per = toks.groupBy("doc_id").agg(
+        *[F.sum(_hexbit("h", i)).alias(f"s{i}") for i in range(32)])
+    fp32 = F.lit(0).cast("bigint")
+    for i in range(32):
+        fp32 = fp32 + F.when(F.col(f"s{i}") > 0,
+                             F.lit(2 ** i)).otherwise(F.lit(0))
+    sig = per.select("doc_id", fp32.cast("bigint").alias("sig32"))
+    sig_rows = sig.select(F.lit("sig").alias("kind"),
+                          F.col("doc_id").alias("doc_a"),
+                          F.lit(-1).cast("bigint").alias("doc_b"),
+                          F.col("sig32").bitwiseAND(F.lit(65535))
+                           .alias("value"))
+    bands = sig.select(
+        "doc_id", F.col("sig32").alias("sig"),
+        F.posexplode(F.array(*[
+            F.shiftright("sig32", 8 * b).bitwiseAND(F.lit(255))
+            for b in range(4)])).alias("band", "v"))
+    a, c = bands.alias("a"), bands.alias("c")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("c.sig")))
+    pair_rows = (a.join(c, (F.col("a.band") == F.col("c.band"))
+                        & (F.col("a.v") == F.col("c.v"))
+                        & (F.col("a.doc_id") < F.col("c.doc_id")))
+                 .where(ham <= 1)
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("c.doc_id").alias("doc_b"),
+                         ham.cast("bigint").alias("value"))
+                 .distinct()
+                 .select(F.lit("pair").alias("kind"),
+                         "doc_a", "doc_b", "value"))
+    return sig_rows.unionByName(pair_rows)
+
+
 # Marker-token profiles for the n-gram-heuristic language classifier.
 # The corpus vocabulary is shared across langs (synthetic), so these are
 # fixed mechanism profiles; correctness = oracle equality, not accuracy.
@@ -1590,14 +1658,79 @@ def q_curate_decisions(spark, sf_dir):
                     .alias("keep"))
 
 
+# PII scrub patterns: character-class-only regexes chosen to have
+# IDENTICAL semantics under Java regex (Spark) and RE2 (DuckDB) — no
+# backreferences, no lookaround, ASCII \d/\b in both.  The corpus text
+# is synthetic and PII-free, so the operator plants deterministic PII
+# from doc_id first (mechanism-profile style, like LANG_MARKERS /
+# telescope ids: correctness = oracle equality of the mechanism, not
+# detector accuracy on real-world text).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d -]{7,}\d"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub — the redaction pass every web-scale training-data
+    pipeline runs before anything else touches the text (emails, IPv4
+    addresses, phone numbers -> typed placeholder tokens), plus the
+    per-document detection counts the pipeline's compliance metrics
+    aggregate.
+
+    Deterministic plant: docs with doc_id % 3 == 0 get an email,
+    % 4 == 0 an IPv4, % 5 == 0 an international phone number appended
+    (all derived from doc_id), so the detector sees a varied, known
+    mix including every overlap combination.  Redaction applies
+    email -> <EMAIL>, then IPv4 -> <IP>, then phone -> <PHONE>, in
+    that fixed order on the running result (later patterns see earlier
+    replacements — the order is part of the contract and the oracle).
+
+    Scale shape: a single narrow scan-projection — regexp_count /
+    regexp_replace are JVM-side codegen expressions, zero shuffles,
+    zero joins, no Python in the path (plan-pinned in plan_audit and
+    tests).  At 10^12 documents this is embarrassingly parallel and
+    IO-bound, exactly what a scrub pass must be."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    email = F.concat(F.lit(" mail user"), doc.cast("string"),
+                     F.lit("@ex"), (doc % 7).cast("string"),
+                     F.lit(".example.org"))
+    ip = F.concat(F.lit(" host 192."), (doc % 200).cast("string"),
+                  F.lit("."), ((doc * 3) % 250).cast("string"),
+                  F.lit("."), (doc % 9 + 1).cast("string"))
+    phone = F.concat(F.lit(" call +1 555 01"),
+                     (doc % 90 + 10).cast("string"),
+                     F.lit(" "), (doc % 9000 + 1000).cast("string"))
+    txt = F.concat(
+        F.col("text"),
+        F.when(doc % 3 == 0, email).otherwise(F.lit("")),
+        F.when(doc % 4 == 0, ip).otherwise(F.lit("")),
+        F.when(doc % 5 == 0, phone).otherwise(F.lit("")))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(PII_EMAIL_RE)).cast("bigint")
+         .alias("n_emails"),
+        F.regexp_count(txt, F.lit(PII_IPV4_RE)).cast("bigint")
+         .alias("n_ipv4"),
+        F.regexp_count(txt, F.lit(PII_PHONE_RE)).cast("bigint")
+         .alias("n_phones"),
+        red.alias("redacted"))
+
+
 # Driver-gate registry.  The driver's correctness gate caps at 50
 # queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
 # verdict #1), so this dict is kept at <= 41 entries and
 # __spark_entry__.queries() prepends the 9 flagship/metrics entries
 # FIRST; near-duplicate operator variants are merged into single
 # multi-column/tagged relations (token_counts, doc_fingerprint,
-# text_quality, channel_stats, robust_stats, ann_ivf_topk) so every
-# computation stays driver-checked under the cap.
+# text_quality, channel_stats, robust_stats, ann_ivf_topk,
+# dedup_simhash) so every computation stays driver-checked under the
+# cap.
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1617,7 +1750,7 @@ QUERIES = {
     "embedding_sign_lsh": q_embedding_sign_lsh,
     "channel_stats": q_channel_stats,
     "telescope_lookup": q_telescope_lookup,
-    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash": q_dedup_simhash_full,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -1628,7 +1761,6 @@ QUERIES = {
     "token_topk": q_token_topk,
     "sample_stratified": q_sample_stratified,
     "media_frame_sample": _q_media_frame_sample,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "approx_distinct_hll": q_approx_distinct_hll,
     "dedup_segments": q_dedup_segments,
     "contamination_ngrams": q_contamination_ngrams,
@@ -1640,4 +1772,5 @@ QUERIES = {
     "ann_quantized_rescore": q_ann_quantized_rescore,
     "events_sessionize": q_events_sessionize,
     "curate_decisions": q_curate_decisions,
+    "pii_redact": q_pii_redact,
 }

@@ -117,6 +117,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                           [r"CartesianProduct",
                            r"BroadcastNestedLoopJoin",
                            r"LocalTableScan"]),
+    # Merged simhash (sig + pairs grains): the banded self-join is a
+    # hash join, never all-pairs; the one-scan exchange-reuse claim is
+    # pinned on the EXECUTED plan in tests/test_training_ops.py (AQE
+    # finalizes ReusedExchange at runtime, not in the static plan).
+    "dedup_simhash": ([r"HashJoin|SortMergeJoin"],
+                      [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                       r"LocalTableScan"]),
+    # PII scrub: a single narrow scan-projection — regex count/replace
+    # are JVM codegen expressions; zero shuffles, zero joins.
+    "pii_redact": ([r"ReadSchema[^\n]*text"], [r"Exchange", r"Join"]),
 }
 
 

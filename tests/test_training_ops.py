@@ -1018,3 +1018,85 @@ def test_round_zero_sign_convention_normalized(spark):
     assert duckdb.sql(
         "SELECT ROUND(1.2345675, 6) + 0.0 = ROUND(1.2345675, 6)"
     ).fetchone()[0]
+
+
+# --------------------------------------------------------------------------
+# Merged simhash gate entry + PII scrub (round 5 additions)
+# --------------------------------------------------------------------------
+
+def test_simhash_merged_matches_both_standalone_grains(spark):
+    """The r5 gate consolidation must not change either operator's
+    semantics: sig rows == q_dedup_simhash exactly, pair rows ==
+    q_dedup_simhash_pairs exactly (including the sig16 = sig32 &
+    0xFFFF derivation that enables exchange reuse)."""
+    from dragnet_spark.queries import (q_dedup_simhash,
+                                       q_dedup_simhash_full,
+                                       q_dedup_simhash_pairs)
+    merged = q_dedup_simhash_full(spark, SF).collect()
+    sig = sorted((r.doc_a, r.value) for r in merged if r.kind == "sig")
+    pairs = sorted((r.doc_a, r.doc_b, r.value)
+                   for r in merged if r.kind == "pair")
+    assert len(sig) + len(pairs) == len(merged)  # no other kinds
+    assert all(r.doc_b == -1 for r in merged if r.kind == "sig")
+    want_sig = sorted((r.doc_id, r.simhash)
+                      for r in q_dedup_simhash(spark, SF).collect())
+    want_pairs = sorted((r.doc_a, r.doc_b, r.hamming)
+                        for r in q_dedup_simhash_pairs(spark, SF).collect())
+    assert sig == want_sig
+    assert pairs == want_pairs
+
+
+def test_simhash_merged_single_scan_exchange_reuse(spark):
+    """The merged entry's whole point: the tokenize+md5+parity
+    aggregation runs ONCE — the executed plan has exactly one live
+    FileScan and wires the union's second branch and the self-join's
+    build side as ReusedExchange nodes.  (Executed plan, not static:
+    AQE finalizes reuse at runtime.)"""
+    from dragnet_spark.queries import q_dedup_simhash_full
+    df = q_dedup_simhash_full(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("AdaptiveSparkPlan")[-1]
+    # toString prints the final plan first, then the initial plan
+    # again under a bare "Union" heading — count only the final part.
+    cut = final.find("\n   Union\n")
+    fin = final[:cut] if cut > 0 else final
+    assert fin.count("FileScan parquet") == 1, fin
+    assert fin.count("ReusedExchange") == 2, fin
+
+
+def test_pii_redact_counts_and_redaction(spark):
+    """Semantic check of the PII scrub: detection counts follow the
+    deterministic plant (doc_id % 3/4/5), and the redacted text
+    contains placeholders but no residual raw PII."""
+    import re
+    from dragnet_spark.queries import (PII_EMAIL_RE, PII_IPV4_RE,
+                                       PII_PHONE_RE, q_pii_redact)
+    rows = q_pii_redact(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 == 0 else 0)
+        assert r.n_ipv4 == (1 if r.doc_id % 4 == 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 5 == 0 else 0)
+        for pat in (PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE):
+            assert not re.search(pat, r.redacted), (r.doc_id, r.redacted)
+        if r.doc_id % 3 == 0:
+            assert "<EMAIL>" in r.redacted
+        if r.doc_id % 4 == 0:
+            assert "<IP>" in r.redacted
+        if r.doc_id % 5 == 0:
+            assert "<PHONE>" in r.redacted
+
+
+def test_pii_redact_is_shuffle_free(spark):
+    """Scale shape: the scrub is a single narrow scan-projection —
+    zero shuffle Exchanges, zero joins, no Python in the path."""
+    import re
+    from dragnet_spark.queries import q_pii_redact
+    df = q_pii_redact(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+             .fromString("formatted"))
+    assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
