@@ -12,7 +12,8 @@ plants the hazards the fixed tables never exercise:
   quirk behind the shingle/bigram guards), single-token repetitions,
   EXACT duplicate texts (dedup survivorship), one-word-mutated near
   duplicates (minhash/jaccard/component paths), random lengths 1-120
-  vs the fixed corpus's uniform 9+ words;
+  vs the fixed corpus's uniform 9+ words, and PII-shaped hazard tokens
+  (boundary emails/IPs/phones) for the pii_redact regex differential;
 - events: per-user gaps straddling the 4-hour sessionize boundary,
   including exact-boundary gaps (the stream==batch parity edge), and
   a random channel count so per-channel aggregates see groups of
@@ -73,6 +74,23 @@ _VOCAB = np.array([
     "customer", "query", "big", "group", "stream", "vector", "filter",
 ])
 _LANGS = np.array(["en", "de", "es", "fr", "zh"])
+
+# PII-shaped hazard tokens (space-free, so the single-space-join
+# tokenization invariant holds) for the pii_redact differential: the
+# fixed corpus only ever sees the operator's own deterministic plant,
+# so the regex BOUNDARY cases — 1-char TLDs (no match), >255 octets
+# (regex still matches: \d{1,3} is textual, both engines agree),
+# overlapping IP candidates (leftmost-first resume-after-match),
+# dashed phones, doubled dots/@s — are planted here where Java regex
+# (Spark) and RE2 (DuckDB) could plausibly diverge.
+_PII_HAZARDS = np.array([
+    "a@b.cd", "x@y.z", "user.name+tag@ex-ample.co.uk", "a@b..cd",
+    "..@..", "@", "no-at-sign.example.com",
+    "1.2.3.4", "999.999.999.999", "1.2.3.4.5", "192.168.0",
+    "10.0.0.1:8080", "v1.2.3.4beta",
+    "+12345678901", "+1-555-123-4567", "+1", "555-1234",
+    "%+%", "--", "a@b.c-d",
+])
 _EPOCH_US = pd.Timestamp("2024-01-01").value // 1000
 _GAP_US = 4 * 3600 * 1_000_000          # the sessionize gap
 
@@ -97,8 +115,13 @@ def _gen_documents(rng: np.random.Generator) -> pd.DataFrame:
             reps = int(rng.integers(6, 41))
             texts.append(" ".join(list(words) * reps))
         else:                           # normal doc
-            texts.append(" ".join(
-                rng.choice(_VOCAB, size=int(rng.integers(5, 121)))))
+            words = list(rng.choice(_VOCAB, size=int(rng.integers(5, 121))))
+            if r > 0.85:                # sprinkle PII-shaped hazards
+                for tok in rng.choice(_PII_HAZARDS,
+                                      size=int(rng.integers(1, 4))):
+                    words.insert(int(rng.integers(0, len(words) + 1)),
+                                 str(tok))
+            texts.append(" ".join(words))
     return pd.DataFrame({
         "doc_id": np.arange(n_docs, dtype=np.int64),
         "text": texts,
