@@ -336,6 +336,10 @@ def driver_bench() -> None:
     # dedisperse_tiny stays in the per-query table (r3 verdict cosmetic:
     # every green CORRECTNESS row should have a bench row); the at-scale
     # flagship number is dedisperse_bench below.
+    # Beyond-the-gate-cap operators (oracle-checked in-suite) get bench
+    # rows too — a correct-but-slow extra is no more done than a gated one.
+    from dragnet_spark.queries import EXTRA_QUERIES
+    qs = {**qs, **EXTRA_QUERIES}
 
     # Session warm-up: JIT the scan/agg/window/Arrow code paths once so
     # per-query numbers measure the query, not first-use compilation.

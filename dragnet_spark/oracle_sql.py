@@ -1018,3 +1018,55 @@ SELECT doc_id,
          '\+\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
 FROM planted
 """
+
+# Oracles for EXTRA_QUERIES (operators beyond the 50-entry driver-gate
+# cap — see queries.EXTRA_QUERIES).  Same determinism rules as
+# ORACLE_SQL; checked in-suite, not by the driver (the driver-contract
+# test pins set(oracle_sql()) == set(queries()), so these must NOT be
+# merged into ORACLE_SQL).
+EXTRA_ORACLE_SQL: dict[str, str] = {}
+
+EXTRA_ORACLE_SQL["dedup_incremental"] = "WITH " + _MINHASH_CTE + """,
+batch AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+),
+cmin AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS corpus_match
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+bmin AS (SELECT fp, MIN(doc_id) AS batch_min FROM batch GROUP BY fp),
+xc AS (
+  SELECT DISTINCT a.doc_id AS doc_n, c.doc_id AS doc_o
+  FROM bands a JOIN bands c ON a.b = c.b AND a.v = c.v
+  WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT xc.doc_n, xc.doc_o, COUNT(*) AS n_common
+  FROM xc
+  JOIN sh sa ON xc.doc_n = sa.doc_id
+  JOIN sh sb ON xc.doc_o = sb.doc_id AND sa.s = sb.s
+  GROUP BY xc.doc_n, xc.doc_o
+),
+near AS (
+  SELECT doc_n, MIN(doc_o) AS near_match
+  FROM common
+  JOIN sizes za ON doc_n = za.doc_id
+  JOIN sizes zb ON doc_o = zb.doc_id
+  WHERE n_common / (za.sz + zb.sz - n_common) >= 0.5
+  GROUP BY doc_n
+)
+SELECT b.doc_id,
+       CASE WHEN corpus_match IS NOT NULL THEN 'dup_exact_corpus'
+            WHEN batch_min < b.doc_id THEN 'dup_exact_batch'
+            WHEN near_match IS NOT NULL THEN 'near_dup_corpus'
+            ELSE 'kept' END AS verdict,
+       CASE WHEN corpus_match IS NOT NULL THEN corpus_match
+            WHEN batch_min < b.doc_id THEN batch_min
+            WHEN near_match IS NOT NULL THEN near_match
+            ELSE -1 END AS matched_doc
+FROM batch b
+LEFT JOIN cmin USING (fp)
+LEFT JOIN bmin USING (fp)
+LEFT JOIN near ON b.doc_id = near.doc_n
+"""

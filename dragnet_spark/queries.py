@@ -212,18 +212,25 @@ def _minhash_df(spark, sf_dir):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_rows(mh: DataFrame) -> DataFrame:
+    """(doc_id, band index, bucket value) rows from a minhash frame —
+    one ``posexplode`` of the band array (not a band-count-way union),
+    so every consumer joins against the SAME aggregation subplan and
+    Spark's exchange reuse computes the shingle->minhash pass once."""
+    band_arr = F.array(*[
+        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+        for b in range(_N_BANDS)])
+    return mh.select("doc_id", F.posexplode(band_arr).alias("b", "v"))
+
+
 def _lsh_candidate_pairs(mh: DataFrame) -> DataFrame:
     """Banded bucket self-join over a minhash DataFrame -> distinct
     candidate pairs (doc_a < doc_b).
 
-    One ``posexplode`` of the band array (not a 4-way union): both
-    sides of the self-join then share the SAME minhash aggregation
-    subplan, whose shuffle Spark's exchange reuse computes once —
-    no persist needed."""
-    band_arr = F.array(*[
-        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
-        for b in range(_N_BANDS)])
-    bands = mh.select("doc_id", F.posexplode(band_arr).alias("b", "v"))
+    Both sides of the self-join share the SAME minhash aggregation
+    subplan (``_band_rows``), whose shuffle Spark's exchange reuse
+    computes once — no persist needed."""
+    bands = _band_rows(mh)
     a = bands.alias("a")
     c = bands.alias("c")
     return (a.join(c, (F.col("a.b") == F.col("c.b"))
@@ -1722,6 +1729,108 @@ def q_pii_redact(spark, sf_dir):
         red.alias("redacted"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (cross-snapshot) dedup: classify each NEW-batch
+    document — ``doc_id % 5 == 0``, the deterministic stand-in for
+    "today's crawl increment" — against the EXISTING corpus (the other
+    80%) without ever comparing corpus docs to each other.
+
+    Verdict precedence per batch doc:
+      ``dup_exact_corpus``  md5(text) already present in the corpus
+      ``dup_exact_batch``   an earlier batch doc has the same
+                            fingerprint (within-increment exact dup)
+      ``near_dup_corpus``   LSH band-bucket candidate vs the corpus
+                            whose exact 3-shingle Jaccard >= 0.5
+      ``kept``              none of the above
+    ``matched_doc`` = the minimal matching doc_id under the decided
+    rule (-1 for kept — engine-portable instead of NULL).
+
+    Scale shape (the production reason this operator exists): a daily
+    increment is ~0.1-1% of the corpus, so re-running full-corpus
+    dedup per snapshot is 100-1000x wasted work.  Unlike the
+    full-corpus chain (``_minhash_df``: explode shingles -> groupBy —
+    a shuffle of the exploded shingle stream, ~2-3x the text volume),
+    the signatures here are PER-ROW expressions: ``array_min`` over a
+    ``transform`` of the shingle array gives each of the 8 minhashes
+    with ZERO shuffle, and no exchange anywhere carries a shingle
+    array (pinned in ``test_dedup_incremental_plan``) — what shuffles
+    is narrow fingerprint projections, band/bucket rows (the BATCH
+    band side broadcasts, so corpus bands never move), candidate
+    pairs, and the increment itself for the final verdict assembly.
+    The batch/corpus split predicate is pushed into every parquet scan
+    (pinned), corpus x corpus pairs are never formed, and only buckets
+    containing a batch doc ever reach Jaccard verification.  At a real
+    deployment the corpus-side projections (fingerprint, signature)
+    are precomputed once at ingest and stored next to the bucketed
+    layout (``io.write_documents_bucketed``), so the per-increment run
+    scans only the increment plus two small stored index tables;
+    within-batch NEAR-dup (batch x batch) is deliberately left to the
+    full-corpus chain (minhash -> jaccard -> components) the next
+    compaction runs.
+
+    Gate note: the driver cap is 50 and fully allocated, so this entry
+    ships in EXTRA_QUERIES — same DuckDB-oracle discipline
+    (EXTRA_ORACLE_SQL), checked in-suite (test_training_ops +
+    the random-corpus fuzz) instead of by the driver."""
+    d = _t(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 5) == 0
+    base = d.select("doc_id", F.md5("text").alias("fp"),
+                    _shingles().alias("sh0"))
+    # Per-row minhash: min over the shingle multiset == min over the
+    # set.  sh0 is referenced by all 8 mins from a separate projection
+    # step — CollapseProject keeps multiply-referenced expensive
+    # expressions in their own project, so the shingle split runs once.
+    # The salt must be bound via a closure factory: a 2-parameter
+    # lambda (even with a default) makes F.transform pass the array
+    # INDEX as the second argument, silently shadowing the salt.
+    def _salted_min(k):
+        salt = F.lit(f":{k}")
+        return F.array_min(F.transform(
+            F.col("sh0"), lambda s: F.md5(F.concat(s, salt))))
+
+    mins = [_salted_min(k).alias(f"h{k}") for k in range(_N_MINHASH)]
+    mh = base.select("doc_id", "fp", *mins)
+    batch_fp = mh.select("doc_id", "fp").where(is_new)
+    corpus_min = (mh.select("doc_id", "fp").where(~is_new).groupBy("fp")
+                  .agg(F.min("doc_id").alias("corpus_match")))
+    batch_min = (batch_fp.groupBy("fp")
+                 .agg(F.min("doc_id").alias("batch_min")))
+    bands = _band_rows(mh)
+    cand = (bands.where(is_new).alias("a")
+            .join(bands.where(~is_new).alias("c"),
+                  (F.col("a.b") == F.col("c.b"))
+                  & (F.col("a.v") == F.col("c.v")))
+            .select(F.col("a.doc_id").alias("doc_n"),
+                    F.col("c.doc_id").alias("doc_o"))
+            .distinct())
+    sets = d.select("doc_id", F.array_distinct(_shingles()).alias("ss"))
+    pairs = (cand
+             .join(sets.alias("sa"), F.col("doc_n") == F.col("sa.doc_id"))
+             .join(sets.alias("sb"), F.col("doc_o") == F.col("sb.doc_id")))
+    n_common = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    sz_union = (F.size(F.col("sa.ss")) + F.size(F.col("sb.ss"))
+                - n_common)
+    near = (pairs.where((n_common / sz_union) >= 0.5)
+            .groupBy("doc_n").agg(F.min("doc_o").alias("near_match")))
+    row = (batch_fp
+           .join(corpus_min, "fp", "left")
+           .join(batch_min, "fp", "left")
+           .join(near, batch_fp["doc_id"] == near["doc_n"], "left"))
+    exact_c = F.col("corpus_match").isNotNull()
+    exact_b = F.col("batch_min") < F.col("doc_id")
+    near_c = F.col("near_match").isNotNull()
+    verdict = (F.when(exact_c, F.lit("dup_exact_corpus"))
+               .when(exact_b, F.lit("dup_exact_batch"))
+               .when(near_c, F.lit("near_dup_corpus"))
+               .otherwise(F.lit("kept")))
+    matched = (F.when(exact_c, F.col("corpus_match"))
+               .when(exact_b, F.col("batch_min"))
+               .when(near_c, F.col("near_match"))
+               .otherwise(F.lit(-1)))
+    return row.select("doc_id", verdict.alias("verdict"),
+                      matched.alias("matched_doc"))
+
+
 # Driver-gate registry.  The driver's correctness gate caps at 50
 # queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
 # verdict #1), so this dict is kept at <= 41 entries and
@@ -1773,4 +1882,13 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "curate_decisions": q_curate_decisions,
     "pii_redact": q_pii_redact,
+}
+
+# Operators beyond the 50-entry driver-gate cap: identical dual-engine
+# discipline (DuckDB oracle in oracle_sql.EXTRA_ORACLE_SQL, fixed-
+# corpus cell-exact check + random-corpus fuzz in the suite), just not
+# driver-exposed — the cap is fully allocated and every merge slot is
+# spent (see the QUERIES comment above).
+EXTRA_QUERIES = {
+    "dedup_incremental": q_dedup_incremental,
 }

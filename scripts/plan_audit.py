@@ -127,6 +127,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # PII scrub: a single narrow scan-projection — regex count/replace
     # are JVM codegen expressions; zero shuffles, zero joins.
     "pii_redact": ([r"ReadSchema[^\n]*text"], [r"Exchange", r"Join"]),
+    # Incremental dedup (EXTRA_QUERIES — beyond the gate cap): the
+    # batch x corpus band join is a hash join, never all-pairs, and
+    # nothing materializes driver-side; the executed-plan pins (split
+    # predicate pushed into every scan, no shingle array on any
+    # exchange) live in tests/test_training_ops.py.
+    "dedup_incremental": ([r"HashJoin|SortMergeJoin"],
+                          [r"CartesianProduct",
+                           r"BroadcastNestedLoopJoin",
+                           r"LocalTableScan", r"InMemoryTableScan"]),
 }
 
 
@@ -146,7 +155,9 @@ def _audit(spark) -> int:
         # regenerated PLANS.md, not abort the audit and leave a stale
         # file still claiming "All invariants hold".
         try:
-            df = QUERIES[name](spark, SF)
+            from dragnet_spark.queries import EXTRA_QUERIES
+            fn = QUERIES.get(name) or EXTRA_QUERIES[name]
+            df = fn(spark, SF)
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode
                      .fromString("formatted"))

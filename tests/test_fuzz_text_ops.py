@@ -50,8 +50,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from dragnet_spark.queries import QUERIES
-from dragnet_spark.oracle_sql import ORACLE_SQL
+from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL, ORACLE_SQL
+from dragnet_spark.queries import EXTRA_QUERIES, QUERIES
+
+# Beyond-the-gate-cap operators (EXTRA_QUERIES) ride the same fuzz:
+# their oracles live in EXTRA_ORACLE_SQL instead of the driver dict.
+QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ORACLE_SQL = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
 
 N_SEEDS = int(os.environ.get("DRAGNET_FUZZ_TEXT_SEEDS", "3"))
 # Sweep entropy shift: seeds [BASE, BASE+N) — lets successive sweep

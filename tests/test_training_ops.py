@@ -1100,3 +1100,99 @@ def test_pii_redact_is_shuffle_free(spark):
     assert not re.search(r"\(\d+\) Exchange\b", plan), plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def _canon_frames(got, exp):
+    """Canonicalize two DataFrames the way scripts/selfcheck.py does:
+    sorted column order, object columns stringified, row-sorted."""
+    import numpy as np
+
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            if d[c].dtype == object:
+                d[c] = d[c].astype(str)
+        return d.sort_values(by=list(d.columns)).reset_index(drop=True)
+
+    g, e = canon(got), canon(exp)
+    assert g.shape == e.shape, (g.shape, e.shape)
+    for c in g.columns:
+        if g[c].dtype == object:
+            assert (g[c].values == e[c].values).all(), c
+        else:
+            assert np.array_equal(g[c].values, e[c].values), c
+
+
+def test_dedup_incremental_vs_duckdb(spark):
+    """Beyond-the-gate-cap operator: same dual-engine discipline as
+    the 50 driver queries, enforced in-suite — cell-exact vs the
+    DuckDB oracle on the fixed corpus (the random-corpus fuzz re-draws
+    the geometry in test_fuzz_text_ops)."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_dedup_incremental
+
+    got = q_dedup_incremental(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["dedup_incremental"]).df()
+    assert len(got) > 0
+    assert (got.verdict == "near_dup_corpus").any()   # non-degenerate
+    _canon_frames(got, exp)
+
+
+def test_dedup_incremental_verdicts_planted(spark, tmp_path):
+    """Every verdict + the precedence order on a planted increment:
+    corpus = ids not divisible by 5, batch = the rest."""
+    from dragnet_spark.queries import q_dedup_incremental
+
+    text_a = "alpha beta gamma delta epsilon zeta"
+    text_b = "one two three four five six seven eight nine ten"
+    text_d = "red green blue yellow purple orange"
+    sf = _write_docs(spark, tmp_path, [
+        (1, text_a),                     # corpus
+        (2, text_b),                     # corpus
+        (3, "cherry apple banana mango papaya lime"),   # corpus
+        (6, "tiny pair"),                # corpus, < 3 words (no shingles)
+        (0, text_a),                     # exact corpus dup (also an LSH
+                                         #   candidate — precedence)
+        (5, text_d),                     # first occurrence -> kept
+        (10, text_d),                    # exact dup of batch doc 5
+        (15, text_b.replace("ten", "zzz")),   # near dup of corpus doc 2
+        (20, "dog cat bird fish horse goat"),  # unique -> kept
+        (25, "tiny pair"),               # exact dup of a shingle-less doc
+        (30, "solo"),                    # 1 word, unique -> kept
+    ])
+    got = {r.doc_id: (r.verdict, r.matched_doc)
+           for r in q_dedup_incremental(spark, sf).collect()}
+    assert got == {
+        0: ("dup_exact_corpus", 1),
+        5: ("kept", -1),
+        10: ("dup_exact_batch", 5),
+        15: ("near_dup_corpus", 2),
+        20: ("kept", -1),
+        25: ("dup_exact_corpus", 6),
+        30: ("kept", -1),
+    }
+
+
+def test_dedup_incremental_plan(spark):
+    """The scale pins from the docstring: the batch/corpus split is
+    pushed into every parquet scan, no exchange ever carries a shingle
+    array (per-row minhash — the exploded-shingle shuffle of the
+    full-corpus chain must NOT appear), and no join degenerates to a
+    cartesian product."""
+    from dragnet_spark.queries import q_dedup_incremental
+
+    df = q_dedup_incremental(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Generate explode(" not in plan     # no exploded shingles
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("% 5" in l for l in scans), scans
+    shuffles = [l for l in plan.splitlines()
+                if "Exchange hashpartitioning" in l]
+    assert shuffles     # the fingerprint/candidate exchanges exist
+    assert not any("ss#" in l or "sh0#" in l for l in shuffles), shuffles
