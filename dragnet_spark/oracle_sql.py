@@ -1070,3 +1070,58 @@ LEFT JOIN cmin USING (fp)
 LEFT JOIN bmin USING (fp)
 LEFT JOIN near ON b.doc_id = near.doc_n
 """
+
+# Quality-aware cluster representative (EXTRA lane): the
+# dedup_components reachability chain, plus per-member quality =
+# COUNT(DISTINCT word) (exact BIGINT both engines) and the
+# representative = min doc_id among the members at the component's
+# max quality (the window-max form of the Spark side's
+# max(struct(quality, -doc_id)) argmax).
+EXTRA_ORACLE_SQL["dedup_keep_best"] = "WITH RECURSIVE " + _MINHASH_CTE + """,
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id AND sa.s = sb.s
+  GROUP BY cand.doc_a, cand.doc_b
+),
+jpair AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes za ON doc_a = za.doc_id
+  JOIN sizes zb ON doc_b = zb.doc_id
+  WHERE n_common / (za.sz + zb.sz - n_common) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpair
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpair
+),
+verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM verts
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comp AS (SELECT doc_id, MIN(comp) AS component_id FROM reach GROUP BY doc_id),
+memb AS (
+  SELECT c.doc_id, c.component_id, COUNT(DISTINCT t.tok) AS quality
+  FROM comp c
+  JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t ON t.doc_id = c.doc_id
+  GROUP BY c.doc_id, c.component_id
+),
+rep AS (
+  SELECT component_id, MIN(doc_id) AS kept_doc
+  FROM (SELECT *, MAX(quality) OVER (PARTITION BY component_id) AS mq
+        FROM memb)
+  WHERE quality = mq
+  GROUP BY component_id
+)
+SELECT m.doc_id, m.component_id, m.quality,
+       CASE WHEN m.doc_id = r.kept_doc THEN 'keep' ELSE 'drop' END AS action,
+       r.kept_doc
+FROM memb m
+JOIN rep r USING (component_id)
+"""

@@ -1831,6 +1831,62 @@ def q_dedup_incremental(spark, sf_dir):
                       matched.alias("matched_doc"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster representative selection: within each
+    verified near-dup component (the dedup_components contract),
+    KEEP the member with the highest quality score instead of the
+    first-seen/min-id copy — the production refinement of
+    "keep one representative per duplicate cluster" (a crawl's best
+    copy of a page is rarely its first copy: mirrors truncate,
+    re-crawls gain content).  Quality = number of DISTINCT
+    whitespace words (exact BIGINT — engine-portable, no float
+    thresholds), ties broken toward the smaller doc_id.  Output is
+    one row per cluster MEMBER: (doc_id, component_id, quality,
+    action keep|drop, kept_doc).
+
+    Scale shape: cluster labels come from the existing banded-minhash
+    -> exact-Jaccard -> connected-components chain (never all-pairs);
+    the label set is tiny relative to the corpus (only near-dup
+    members carry labels), so it BROADCASTS against the per-row
+    quality projection — the corpus never shuffles.  The
+    representative choice is one map-side-combinable
+    ``max(struct(quality, -doc_id))`` per component — an argmax
+    aggregation, NOT a window sort over members (no
+    per-component row_number ordering pass), and the one-row-per-
+    cluster result broadcasts back for the keep/drop verdict.  Zero
+    exchanges carry text or shingle arrays beyond the candidate
+    chain already audited in dedup_components.
+
+    Gate note: the driver cap is 50 and fully allocated, so this
+    entry ships in EXTRA_QUERIES — same DuckDB-oracle discipline
+    (EXTRA_ORACLE_SQL: the dedup_components reachability CTE + a
+    window-max rep), checked in-suite (test_training_ops + the
+    random-corpus fuzz)."""
+    d = _t(spark, sf_dir, "documents")
+    edges = q_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    slug = sf_dir.strip("/").replace("/", "_")
+    comps = connected_components(
+        edges,
+        checkpoint_dir=f"{cc_checkpoint_base(spark)}/{slug}_best.parquet")
+    qual = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+         .cast("bigint").alias("quality"))
+    memb = qual.join(F.broadcast(comps), "doc_id")
+    rep = (memb.groupBy("component_id")
+           .agg(F.max(F.struct(F.col("quality").alias("q"),
+                               (-F.col("doc_id")).alias("neg_id")))
+                .alias("best"))
+           .select("component_id",
+                   (-F.col("best.neg_id")).alias("kept_doc")))
+    return (memb.join(F.broadcast(rep), "component_id")
+            .select("doc_id", "component_id", "quality",
+                    F.when(F.col("doc_id") == F.col("kept_doc"),
+                           F.lit("keep"))
+                     .otherwise(F.lit("drop")).alias("action"),
+                    "kept_doc"))
+
+
 # Driver-gate registry.  The driver's correctness gate caps at 50
 # queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
 # verdict #1), so this dict is kept at <= 41 entries and
@@ -1891,4 +1947,5 @@ QUERIES = {
 # spent (see the QUERIES comment above).
 EXTRA_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
+    "dedup_keep_best": q_dedup_keep_best,
 }

@@ -136,6 +136,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                           [r"CartesianProduct",
                            r"BroadcastNestedLoopJoin",
                            r"LocalTableScan", r"InMemoryTableScan"]),
+    # Keep-best representative (EXTRA_QUERIES): the per-cluster argmax
+    # is an AGGREGATION over a (quality, -doc_id) struct (partial/map-
+    # side combinable), never a per-component window sort; the tiny
+    # label and one-row-per-cluster rep relations broadcast back
+    # against the corpus.
+    "dedup_keep_best": ([r"BroadcastHashJoin", r"partial_max"],
+                        [r"CartesianProduct",
+                         r"BroadcastNestedLoopJoin", r"Window"]),
 }
 
 

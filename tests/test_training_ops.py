@@ -1196,3 +1196,72 @@ def test_dedup_incremental_plan(spark):
                 if "Exchange hashpartitioning" in l]
     assert shuffles     # the fingerprint/candidate exchanges exist
     assert not any("ss#" in l or "sh0#" in l for l in shuffles), shuffles
+
+
+def test_dedup_keep_best_vs_duckdb(spark):
+    """Second EXTRA-lane operator: cell-exact vs the DuckDB oracle on
+    the fixed corpus, and non-degenerate in the way that matters —
+    at least one cluster keeps a member that is NOT the min doc_id
+    (otherwise the operator would be indistinguishable from
+    keep-first)."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_dedup_keep_best
+
+    got = q_dedup_keep_best(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["dedup_keep_best"]).df()
+    assert len(got) > 0
+    assert (got.action == "drop").any()
+    assert (got.kept_doc != got.component_id).any()   # best != first
+    # exactly one keep per cluster, and it is a member of the cluster
+    keeps = got[got.action == "keep"]
+    assert keeps.groupby("component_id").size().eq(1).all()
+    assert (keeps.doc_id == keeps.kept_doc).all()
+    _canon_frames(got, exp)
+
+
+def test_dedup_keep_best_planted(spark, tmp_path):
+    """Planted clusters pin the semantics: the higher-quality member
+    wins even when it is not the min doc_id; exact-dup ties fall back
+    to the min doc_id; singletons never appear.  The near-dup pair is
+    deterministic: jaccard 8/11 = 0.727 with 3 of 4 minhash bands
+    colliding (md5 is seed-free, so this holds forever)."""
+    from dragnet_spark.queries import q_dedup_keep_best
+
+    base = "quick brown fox jumps over the lazy sleeping dog tonight"
+    rich = base + " alpha beta gamma"          # +3 distinct words
+    tie = "cherry apple banana mango papaya lime"
+    sf = _write_docs(spark, tmp_path, [
+        (3, base),                 # cluster {3,11}: quality 10
+        (11, rich),                #   quality 13 -> kept despite id
+        (4, tie),                  # cluster {4,9}: identical text,
+        (9, tie),                  #   equal quality -> min id kept
+        (20, "dog cat bird fish horse goat"),  # singleton -> absent
+    ])
+    got = {r.doc_id: (r.component_id, r.quality, r.action, r.kept_doc)
+           for r in q_dedup_keep_best(spark, sf).collect()}
+    assert got == {
+        3: (3, 10, "drop", 11),
+        11: (3, 13, "keep", 11),
+        4: (4, 6, "keep", 4),
+        9: (4, 6, "drop", 4),
+    }
+
+
+def test_dedup_keep_best_plan(spark):
+    """Scale pins from the docstring: the representative choice is an
+    argmax AGGREGATION, never a per-component window sort (no Window
+    node anywhere); the tiny label and rep relations broadcast back
+    against the corpus (two BroadcastHashJoins); nothing degenerates
+    to a cartesian product."""
+    from dragnet_spark.queries import q_dedup_keep_best
+
+    df = q_dedup_keep_best(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
