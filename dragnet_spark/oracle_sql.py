@@ -1125,3 +1125,86 @@ SELECT m.doc_id, m.component_id, m.quality,
 FROM memb m
 JOIN rep r USING (component_id)
 """
+
+# Sequence packing (EXTRA lane): DuckDB expresses the same global
+# exclusive token prefix-sum with a single plain window (exactness is
+# engine-trivial at oracle scale — the Spark side's two-level scan is
+# the part under test), then the bin overlap via a lateral
+# generate_series.  All-integer, so cell equality is exact.
+EXTRA_ORACLE_SQL["sequence_pack"] = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS tok_start
+  FROM tok
+)
+SELECT doc_id, n_tok AS doc_tokens, tok_start, u.bin_id,
+       LEAST(tok_start + n_tok, (u.bin_id + 1) * 128)
+         - GREATEST(tok_start, u.bin_id * 128) AS tok_in_bin
+FROM cum,
+     UNNEST(generate_series(tok_start // 128,
+                            (tok_start + n_tok - 1) // 128)) AS u(bin_id)
+"""
+
+
+def _ln_int_sql(col: str) -> str:
+    """DuckDB twin of queries.ln_portable_int — the SAME fixed-order
+    IEEE-754 expression (bitlength range reduction + sqrt2 fold +
+    11-term atanh Horner series), so both engines produce
+    bit-identical doubles for integer inputs in [1, 2^53).  Matched
+    pair: any edit here must be mirrored in queries.ln_portable_int
+    (test_ln_portable_cross_engine pins the parity)."""
+    ln2 = "0.6931471805599453"
+    sqrt2 = "1.4142135623730951"
+    coefs = [repr(1.0 / (2 * k + 1)) for k in range(1, 12)]
+    p = coefs[-1]
+    for c in reversed(coefs[:-1]):
+        p = f"({p} * __T2 + {c})"
+    e = f"CAST(length(bin({col})) - 1 AS DOUBLE)"
+    m = f"(CAST({col} AS DOUBLE) / power(2.0, {e}))"
+    m2 = f"(CASE WHEN {m} >= {sqrt2} THEN {m} / 2.0 ELSE {m} END)"
+    e2 = f"(CASE WHEN {m} >= {sqrt2} THEN {e} + 1.0 ELSE {e} END)"
+    t = f"(({m2} - 1.0) / ({m2} + 1.0))"
+    body = f"({e2} * {ln2} + 2.0 * __T * (1.0 + __T2 * {p}))"
+    return body.replace("__T2", f"({t} * {t})").replace("__T", t)
+
+
+# Corpus-trained bigram-LM cross-entropy (EXTRA lane).  The per-doc
+# sum folds log-probs in position order (list(... ORDER BY pos) +
+# list_sum — the sequential accumulation the cosine oracles already
+# rely on), and ln comes from _ln_int_sql, so every cell is
+# bit-identical to Spark's before the final ROUND.
+EXTRA_ORACLE_SQL["lm_perplexity"] = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(ts) AS w FROM tok)
+), bg AS (
+  SELECT doc_id, u.i AS pos, ts[u.i] AS w1, ts[u.i + 1] AS w2
+  FROM tok, UNNEST(generate_series(1, CAST(len(ts) AS BIGINT) - 1))
+              AS u(i)
+  WHERE len(ts) >= 2
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+), cctx AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+), scored AS (
+  SELECT b.doc_id, b.pos,
+         {_ln_int_sql('(c2.c2 + 1)')}
+           - {_ln_int_sql('(cctx.c1 + vocab.v)')} AS logp
+  FROM bg b
+  JOIN c2 USING (w1, w2)
+  JOIN cctx USING (w1)
+  CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND((-list_sum(list(logp ORDER BY pos)))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS cross_entropy
+FROM scored GROUP BY doc_id
+"""

@@ -1887,6 +1887,187 @@ def q_dedup_keep_best(spark, sf_dir):
                     "kept_doc"))
 
 
+# Context length and scan-bucket width for q_sequence_pack.  L is a
+# power of two so the double division tok_start/L inside floor() is
+# IEEE-exact (no truncation hazard); B is a power of two for the same
+# reason and small enough that the pytest corpora exercise multi-
+# bucket offsets.  At web scale B would be ~2^20 (the per-bucket
+# Window then sorts <= 2^20 rows per task and the bucket-offsets
+# relation is corpus/2^20 rows — 10^6 at 10^12 docs).
+_PACK_L = 128
+_PACK_B = 64
+
+
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style sequence packing: concatenate every document's
+    whitespace tokens in doc_id order into one global token stream and
+    chunk it into fixed-size training contexts of L=128 tokens —
+    emitting one row per (document, context bin) overlap:
+    (doc_id, doc_tokens, tok_start, bin_id, tok_in_bin).  This is the
+    concat-and-chunk data layout step of an LM training pipeline
+    (documents straddle bin boundaries; a doc longer than L spans
+    multiple bins).  All-integer arithmetic — exact in both engines.
+
+    Scale shape: the global exclusive prefix-sum is the textbook
+    scale-killer (a naive Window over ORDER BY doc_id with no
+    partition spec collapses the corpus into ONE task via an Exchange
+    SinglePartition).  Instead it is computed HIERARCHICALLY, the
+    two-level scan: bucket g = floor(doc_id/B) -> (1) per-bucket token
+    sums via one partial agg (corpus/B rows), (2) exclusive running
+    total OVER the tiny bucket relation (the only SinglePartition
+    exchange in the plan — corpus/B rows, ~10^6 at 10^12 docs; a third
+    level repeats the trick if that ever matters), (3) broadcast the
+    bucket offsets back and add a PER-BUCKET exclusive cumsum
+    (Window partitionBy(g) — parallel in g, each task sorts <= B
+    rows).  Bin membership = explode(sequence(bin_lo, bin_hi)) —
+    rows-out bounded by 1 + doc_tokens/L per doc, never a cartesian.
+    Plan pins (pytest + plan_audit): exactly one SinglePartition
+    exchange, sitting above the bucket HashAggregate, never the
+    corpus scan; the corpus-side Window is partitioned by g.
+
+    Gate note: ships in EXTRA_QUERIES (the 50-entry driver cap is
+    fully allocated — see the QUERIES comment); same dual-engine
+    discipline via EXTRA_ORACLE_SQL (DuckDB computes the same prefix
+    sum with a plain window, exactness is engine-trivial there) and
+    the random-corpus fuzz."""
+    L, B = _PACK_L, _PACK_B
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+        F.floor(F.col("doc_id") / F.lit(B)).cast("bigint").alias("g"))
+    # (1) per-bucket sums; (2) exclusive running offset over the tiny
+    # bucket relation (this Window is the plan's one SinglePartition).
+    bs = tok.groupBy("g").agg(F.sum("n_tok").alias("b_tok"))
+    w_b = (Window.orderBy("g")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bs.select(
+        "g", F.coalesce(F.sum("b_tok").over(w_b), F.lit(0)).alias("b_off"))
+    # (3) per-bucket exclusive cumsum (parallel in g) + bucket offset.
+    w_g = (Window.partitionBy("g").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (tok.join(F.broadcast(boff), "g")
+           .select("doc_id", "n_tok",
+                   (F.col("b_off")
+                    + F.coalesce(F.sum("n_tok").over(w_g), F.lit(0)))
+                   .alias("tok_start")))
+    bin_lo = F.floor(F.col("tok_start") / F.lit(L)).cast("bigint")
+    bin_hi = (F.floor((F.col("tok_start") + F.col("n_tok") - 1) / F.lit(L))
+              .cast("bigint"))
+    return (cum.select("doc_id", F.col("n_tok").alias("doc_tokens"),
+                       "tok_start",
+                       F.explode(F.sequence(bin_lo, bin_hi)).alias("bin_id"))
+            .select("doc_id", "doc_tokens", "tok_start", "bin_id",
+                    (F.least(F.col("tok_start") + F.col("doc_tokens"),
+                             (F.col("bin_id") + 1) * L)
+                     - F.greatest(F.col("tok_start"),
+                                  F.col("bin_id") * L)).alias("tok_in_bin")))
+
+
+# Portable natural log: ln() differs by ULPs between libms (Java
+# Math.log vs DuckDB's C log produce different last bits for the same
+# double — measured, not hypothetical), so any cross-engine oracle in
+# log space would be flaky at ROUND midpoints.  ln_portable_int
+# instead evaluates a FIXED-ORDER IEEE-754 expression both engines
+# run identically (same spirit as plan.py's hand-rolled Lanczos
+# lngamma): for integer n in [1, 2^53), reduce n = m * 2^e with
+# e = bitlength(n)-1 (exact via length(bin(n)); the division by 2^e
+# only shifts the exponent, so m in [1,2) is exact), fold m into
+# [1/sqrt2, sqrt2) (one exact compare + halving), then
+# ln(m) = 2*atanh(t), t = (m-1)/(m+1) in [-0.172, 0.172], via an
+# 11-term odd series in Horner order.  Every op is +,-,*,/ on doubles
+# — IEEE-exact rounding, so both engines produce bit-identical
+# results (pinned over 1..5000 and 2^40-scale ints in pytest);
+# accuracy vs true ln is ~1 ulp (2.3e-16 relative, measured).  The
+# DuckDB twin is oracle_sql._ln_int_sql — a matched pair: any edit
+# here must be mirrored there (the parity test fails loudly if not).
+_LN2 = 0.6931471805599453        # nearest double to ln 2
+_SQRT2 = 1.4142135623730951      # nearest double to sqrt 2
+_ATANH_COEFS = tuple(1.0 / (2 * k + 1) for k in range(1, 12))
+
+
+def ln_portable_int(n):
+    """Bit-portable ln of an integer column n >= 1 (< 2^53)."""
+    e = (F.length(F.bin(n)) - F.lit(1)).cast("double")
+    m = n.cast("double") / F.pow(F.lit(2.0), e)
+    big = m >= F.lit(_SQRT2)
+    m2 = F.when(big, m / F.lit(2.0)).otherwise(m)
+    e2 = F.when(big, e + F.lit(1.0)).otherwise(e)
+    t = (m2 - F.lit(1.0)) / (m2 + F.lit(1.0))
+    t2 = t * t
+    p = F.lit(_ATANH_COEFS[-1])
+    for c in reversed(_ATANH_COEFS[:-1]):
+        p = p * t2 + F.lit(c)
+    return e2 * F.lit(_LN2) + F.lit(2.0) * t * (F.lit(1.0) + t2 * p)
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style n-gram language-model quality scoring: train an
+    add-one-smoothed bigram LM on the corpus itself, then score every
+    document's per-bigram cross-entropy under it —
+    -mean(ln p(w_i | w_{i-1})), low = fluent/in-distribution, high =
+    gibberish/boilerplate (the classic perplexity filter of a
+    training-data pipeline; Wenzek et al. 2020 filter Common Crawl
+    exactly this way, with KenLM in place of the corpus-trained
+    counts).  p(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V) with ctx(w1) =
+    bigram-context occurrences of w1 and V = corpus vocabulary size.
+    Output: (doc_id, n_bigrams, cross_entropy) for every doc with
+    >= 2 tokens (singleton docs carry no bigram evidence).
+
+    Determinism: ln is deliberately NOT the engine's — libm ULP skew
+    would break the bit-exact gate — but ln_portable_int (above),
+    bit-identical on both engines; the per-doc sum folds the bigram
+    log-probs in position order (sort_array over (pos, logp) structs
+    + F.aggregate — the ann_cosine sequential-accumulation pattern),
+    so even float addition order is pinned.
+
+    Scale shape: ONE exploded-bigram scan feeds both count
+    aggregations (bigram counts and w1 context counts — partial aggs,
+    map-side combinable) and the scoring join; both count relations
+    join back UNJOINTED-by-hint on their term keys (the tfidf lesson:
+    under autoBroadcastJoinThreshold the optimizer broadcasts the
+    vocab-sized sides — plan-pinned — and a 1e8-term web vocab falls
+    back to a shuffle join of pre-aggregated sides instead of a
+    forced driver-OOM broadcast); only the one-row V scalar keeps an
+    explicit broadcast.  The per-doc reassembly groups (doc_id, pos,
+    logp) rows — bounded by document length, the same bound every
+    per-doc relation in this file already carries.  The ln evaluates
+    JVM-side in whole-stage codegen (~40 float ops/row, no UDF).
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    ts = d.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    n = F.size(F.col("ts"))
+    bg = (ts.where(n >= 2)
+          .select("doc_id",
+                  F.posexplode(
+                      F.zip_with(F.slice(F.col("ts"), 1, n - 1),
+                                 F.slice(F.col("ts"), 2, n - 1),
+                                 lambda a, b: F.struct(a.alias("w1"),
+                                                       b.alias("w2"))))
+                  .alias("pos", "bgram"))
+          .select("doc_id", "pos", "bgram.w1", "bgram.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (ts.select(F.explode("ts").alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+    logp = (ln_portable_int(F.col("c2") + 1)
+            - ln_portable_int(F.col("c1") + F.col("v")))
+    scored = (bg.join(c2, ["w1", "w2"]).join(cctx, ["w1"])
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id", "pos", logp.alias("logp")))
+    folded = F.aggregate(
+        F.transform(F.sort_array(F.collect_list(F.struct("pos", "logp"))),
+                    lambda x: x["logp"]),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round((-folded) / F.col("n_bigrams").cast("double"), 6)
+                  .alias("cross_entropy")))
+
+
 # Driver-gate registry.  The driver's correctness gate caps at 50
 # queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
 # verdict #1), so this dict is kept at <= 41 entries and
@@ -1948,4 +2129,6 @@ QUERIES = {
 EXTRA_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_keep_best": q_dedup_keep_best,
+    "sequence_pack": q_sequence_pack,
+    "lm_perplexity": q_lm_perplexity,
 }

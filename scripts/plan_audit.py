@@ -144,6 +144,27 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dedup_keep_best": ([r"BroadcastHashJoin", r"partial_max"],
                         [r"CartesianProduct",
                          r"BroadcastNestedLoopJoin", r"Window"]),
+    # Sequence packing (EXTRA_QUERIES): the global token prefix-sum is
+    # the two-level scan — per-bucket partial sums, bucket offsets
+    # broadcast back, per-bucket Window partitioned by g; bin fan-out
+    # is a bounded sequence-explode, never a cartesian.  The
+    # exactly-one-SinglePartition pin (the tiny bucket relation) lives
+    # in tests/test_training_ops.py.
+    "sequence_pack": ([r"partial_sum", r"BroadcastHashJoin",
+                       r"windowspecdefinition\(g#"],
+                      [r"CartesianProduct",
+                       r"BroadcastNestedLoopJoin", r"LocalTableScan"]),
+    # Bigram-LM cross-entropy (EXTRA_QUERIES): both count relations
+    # are map-side-combinable partial aggs joined back WITHOUT hints
+    # (broadcast below the threshold, pre-aggregated shuffle join at
+    # web vocab); the per-doc position-ordered fold reassembles via a
+    # partial collect_list, and the portable-ln stays in codegen (no
+    # BatchEvalPython anywhere).  The only nested-loop join is the
+    # benign broadcast cross of the ONE-ROW vocabulary scalar (the
+    # same allowance approx_distinct_hll's final cross carries).
+    "lm_perplexity": ([r"partial_count", r"partial_collect_list"],
+                      [r"CartesianProduct",
+                       r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

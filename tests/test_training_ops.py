@@ -1265,3 +1265,165 @@ def test_dedup_keep_best_plan(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_sequence_pack_vs_duckdb(spark):
+    """Third EXTRA-lane operator: cell-exact vs the DuckDB oracle on
+    the fixed corpus, plus the packing invariants that make the
+    result meaningful — every bin except the last is exactly full
+    (L=128 tokens), the per-doc contributions reassemble each doc's
+    full token count, and documents genuinely straddle bins (the
+    geometry the operator exists for)."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_sequence_pack
+
+    got = q_sequence_pack(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["sequence_pack"]).df()
+    _canon_frames(got, exp)
+    per_bin = got.groupby("bin_id").tok_in_bin.sum().sort_index()
+    assert (per_bin.iloc[:-1] == 128).all()
+    assert 0 < per_bin.iloc[-1] <= 128
+    per_doc = got.groupby("doc_id").agg(
+        total=("tok_in_bin", "sum"), n_tok=("doc_tokens", "first"))
+    assert (per_doc.total == per_doc.n_tok).all()
+    assert (got.groupby("doc_id").size() > 1).any()   # straddlers
+
+
+def test_sequence_pack_planted(spark, tmp_path):
+    """Pinned packing arithmetic on a hand-checkable corpus, including
+    a doc that spans three bins and ids that cross the B=64 bucket
+    boundary (so the bucket-offset broadcast path is actually
+    exercised, not just bucket 0)."""
+    from dragnet_spark.queries import q_sequence_pack
+
+    w = lambda k: " ".join(["w"] * k)
+    sf = _write_docs(spark, tmp_path, [
+        (3, w(100)),     # tokens [0, 100)   -> bin 0
+        (10, w(60)),     # tokens [100, 160) -> bins 0, 1
+        (70, w(300)),    # tokens [160, 460) -> bins 1, 2, 3  (bucket 1)
+        (130, w(4)),     # tokens [460, 464) -> bin 3         (bucket 2)
+    ])
+    got = sorted(
+        (r.doc_id, r.bin_id, r.tok_start, r.doc_tokens, r.tok_in_bin)
+        for r in q_sequence_pack(spark, sf).collect())
+    assert got == [
+        (3, 0, 0, 100, 100),
+        (10, 0, 100, 60, 28), (10, 1, 100, 60, 32),
+        (70, 1, 160, 300, 96), (70, 2, 160, 300, 128),
+        (70, 3, 160, 300, 76),
+        (130, 3, 460, 4, 4),
+    ]
+
+
+def test_sequence_pack_plan(spark):
+    """Scale pins: the ONLY SinglePartition exchange in the executed
+    plan is the tiny bucket-offsets relation (fed by a map-side
+    partial_sum), the corpus-side prefix Window is PARTITIONED by the
+    bucket key (a global unpartitioned window over the corpus is the
+    scale-killer this operator exists to avoid), and the bucket
+    offsets come back via broadcast."""
+    from dragnet_spark.queries import q_sequence_pack
+
+    df = q_sequence_pack(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange SinglePartition") == 1, final
+    assert "windowspecdefinition(g#" in final
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
+
+
+def test_ln_portable_cross_engine(spark):
+    """The matched pair queries.ln_portable_int / oracle_sql._ln_int_sql
+    must produce BIT-IDENTICAL doubles on both engines (that is the
+    whole reason they exist: the engines' native ln differ by ULPs),
+    and track the true ln to ~1 ulp.  Grid: all of 1..4000 plus
+    2^40-scale and 1e12-scale ints (the count magnitudes a web corpus
+    produces)."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.oracle_sql import _ln_int_sql
+    from dragnet_spark.queries import ln_portable_int
+
+    vals = list(range(1, 4001)) + [10**6 + 7, 10**9 + 9, 10**12 + 3,
+                                   2**40, 2**41 - 1, 2**52]
+    df = spark.createDataFrame([(v,) for v in vals], "n bigint")
+    ps = df.select("n", ln_portable_int(F.col("n")).alias("l")).toPandas()
+    con = duckdb.connect()
+    con.register("t", ps[["n"]])
+    pdk = con.sql(f"SELECT n, {_ln_int_sql('n')} AS l FROM t").df()
+    m = ps.merge(pdk, on="n", suffixes=("_s", "_d"))
+    assert len(m) == len(vals)
+    mism = m[m.l_s != m.l_d]
+    assert mism.empty, mism.head().to_string()
+    true = np.log(m.n.values.astype(np.float64))
+    rel = np.abs(m.l_s.values - true) / np.maximum(np.abs(true), 1e-300)
+    assert rel[m.n.values > 1].max() < 1e-15   # ~4 ulp headroom
+
+
+def test_lm_perplexity_vs_duckdb(spark):
+    """Fourth EXTRA-lane operator: cell-exact (bit-exact, float column
+    included) vs the DuckDB oracle on the fixed corpus — the portable
+    ln plus the position-ordered fold make even the log-space float
+    agree bit-for-bit before the final ROUND."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_lm_perplexity
+
+    got = q_lm_perplexity(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["lm_perplexity"]).df()
+    assert len(got) > 0
+    _canon_frames(got, exp)
+
+
+def test_lm_perplexity_planted(spark, tmp_path):
+    """Semantics pinned against an independent pure-Python reference
+    (math.log, tolerance covers the portable ln's ~1 ulp): add-one
+    bigram LM trained on the corpus itself.  The duplicated fluent
+    text must score LOWER cross-entropy than the all-unique-bigrams
+    gibberish doc (the filter's discriminating direction), and the
+    singleton doc is excluded (no bigram evidence)."""
+    import math
+
+    from dragnet_spark.queries import q_lm_perplexity
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat",
+        3: "zx qy wv ut",
+        4: "word",
+    }
+    sf = _write_docs(spark, tmp_path, list(docs.items()))
+    got = {r.doc_id: (r.n_bigrams, r.cross_entropy)
+           for r in q_lm_perplexity(spark, sf).collect()}
+
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    c2: dict = {}
+    ctx: dict = {}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    v = len({w for ts in toks.values() for w in ts})
+    exp = {}
+    for i, ts in toks.items():
+        lps = [math.log((c2[(a, b)] + 1) / (ctx[a] + v))
+               for a, b in zip(ts, ts[1:])]
+        if lps:
+            exp[i] = (len(lps), round(-sum(lps) / len(lps), 6))
+    assert set(got) == {1, 2, 3}          # singleton excluded
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert abs(got[i][1] - exp[i][1]) <= 2e-6, (i, got[i], exp[i])
+    assert got[1] == got[2]               # identical docs, same score
+    assert got[1][1] < got[3][1]          # fluent < gibberish
