@@ -1208,3 +1208,48 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
              / CAST(COUNT(*) AS DOUBLE), 6) AS cross_entropy
 FROM scored GROUP BY doc_id
 """
+
+
+# DSIR importance weights (EXTRA lane): hashed-n-gram (uni+bi, 4096
+# md5 buckets) importance ratio of the lang='en' target slice vs the
+# raw corpus, add-one smoothed, per-doc position-ordered fold.  Every
+# ln goes through _ln_int_sql so the log-space floats are
+# bit-identical to Spark's before the final ROUND.
+EXTRA_ORACLE_SQL["dsir_weights"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         ts || list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i + 1]) AS grams
+  FROM tok
+), x AS (
+  SELECT doc_id, lang, u.pos,
+         ('0x' || substr(md5(grams[u.pos]), 1, 3))::BIGINT AS bucket
+  FROM g, UNNEST(generate_series(1, CAST(len(grams) AS BIGINT)))
+            AS u(pos)
+), cq AS (
+  SELECT bucket, COUNT(*) AS cq FROM x GROUP BY 1
+), ct AS (
+  SELECT bucket, COUNT(*) AS ct FROM x WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT (SELECT COALESCE(SUM(cq), 0) FROM cq) AS nq,
+         (SELECT COALESCE(SUM(ct), 0) FROM ct) AS nt
+), scored AS (
+  SELECT x.doc_id, x.pos,
+         (({_ln_int_sql('(COALESCE(ct.ct, 0) + 1)')}
+           - {_ln_int_sql('(tot.nt + 4096)')})
+          - ({_ln_int_sql('(cq.cq + 1)')}
+             - {_ln_int_sql('(tot.nq + 4096)')})) AS lw
+  FROM x
+  JOIN cq USING (bucket)
+  LEFT JOIN ct USING (bucket)
+  CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       ROUND(list_sum(list(lw ORDER BY pos)), 6) AS logweight,
+       ROUND(list_sum(list(lw ORDER BY pos))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logweight,
+       list_sum(list(lw ORDER BY pos)) > 0.0 AS selected
+FROM scored GROUP BY doc_id
+"""

@@ -2068,6 +2068,84 @@ def q_lm_perplexity(spark, sf_dir):
                   .alias("cross_entropy")))
 
 
+# Hashed-n-gram bucket count for q_dsir_weights: 3 hex chars of the
+# md5 = 4096 buckets.  FIXED size by construction — that is DSIR's
+# design point (the "model" never grows with the corpus), and why
+# the broadcast hints below are safe at ANY scale, unlike the
+# vocab-sized tfidf relation the r4 ADVICE de-hinted.
+_DSIR_K = 4096
+
+
+def q_dsir_weights(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    NeurIPS — the DSIR pretraining-data filter): score every document
+    by the log importance ratio of a hashed-n-gram bag model of a
+    TARGET distribution (here: the corpus's lang='en' slice, standing
+    in for the high-quality reference corpus) against the raw corpus
+    distribution.  Features = unigrams + bigrams hashed into K=4096
+    md5 buckets; per-gram term = ln p_target(b) - ln p_raw(b) with
+    add-one smoothing; doc score = sum over the doc's gram instances.
+    Output: (doc_id, n_grams, logweight, avg_logweight, selected)
+    with selected = (raw sum > 0), i.e. the doc leans target.
+
+    Determinism: every ln argument is an integer (count+1 or
+    total+K), so both engines evaluate the bit-portable
+    ln_portable_int; per-doc sums fold in gram-position order
+    (unigrams first, then bigrams — one concatenated array drives
+    posexplode), so even the float columns are bit-exact.
+
+    Scale shape: ONE exploded-gram scan feeds both bucket-count
+    aggregations (map-side-combinable partial counts into at most
+    4096 groups) and the scoring join.  Because the bucket relations
+    are CONSTANT-SIZE (K rows regardless of corpus size), the
+    explicit F.broadcast hints are safe at 10^12 docs — this is
+    exactly the case where a hint is correct, in contrast to the
+    vocab-sized tfidf join where a hint would force a driver OOM at
+    web scale (r4 ADVICE).  The two totals are one-row scalars.  The
+    per-doc reassembly is bounded by document length.  No target-side
+    docs? nt=0 degrades smoothly (add-one smoothing keeps every ln
+    argument >= 1).
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    K = _DSIR_K
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    n = F.size(ts)
+    grams = F.concat(
+        ts, F.zip_with(F.slice(ts, 1, n - 1), F.slice(ts, 2, n - 1),
+                       lambda a, b: F.concat_ws(" ", a, b)))
+    x = (d.select("doc_id", "lang",
+                  F.posexplode(grams).alias("pos", "gram"))
+         .select("doc_id", "lang", "pos",
+                 F.conv(F.substring(F.md5(F.col("gram")), 1, 3), 16, 10)
+                  .cast("bigint").alias("bucket")))
+    cq = x.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    ct = (x.where(F.col("lang") == "en")
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    tot = cq.agg(F.coalesce(F.sum("cq"), F.lit(0)).alias("nq")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    lw = ((ln_portable_int(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+           - ln_portable_int(F.col("nt") + K))
+          - (ln_portable_int(F.col("cq") + 1)
+             - ln_portable_int(F.col("nq") + K)))
+    scored = (x.join(F.broadcast(cq), "bucket")
+              .join(F.broadcast(ct), "bucket", "left")
+              .crossJoin(F.broadcast(tot))
+              .select("doc_id", "pos", lw.alias("lw")))
+    folded = F.aggregate(
+        F.transform(F.sort_array(F.collect_list(F.struct("pos", "lw"))),
+                    lambda s: s["lw"]),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.round(folded, 6).alias("logweight"),
+                 F.round(folded / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("avg_logweight"),
+                 (folded > F.lit(0.0)).alias("selected")))
+
+
 # Driver-gate registry.  The driver's correctness gate caps at 50
 # queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
 # verdict #1), so this dict is kept at <= 41 entries and
@@ -2131,4 +2209,5 @@ EXTRA_QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "sequence_pack": q_sequence_pack,
     "lm_perplexity": q_lm_perplexity,
+    "dsir_weights": q_dsir_weights,
 }

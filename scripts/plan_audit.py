@@ -165,6 +165,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "lm_perplexity": ([r"partial_count", r"partial_collect_list"],
                       [r"CartesianProduct",
                        r"BatchEvalPython", r"LocalTableScan"]),
+    # DSIR importance weights (EXTRA_QUERIES): both bucket-count
+    # relations are CONSTANT-size (4096 rows), so the explicit
+    # broadcast hints are safe at any corpus scale (the opposite of
+    # the vocab-sized tfidf case); counts are map-side partials, the
+    # per-doc fold reassembles via partial collect_list, the portable
+    # ln stays in codegen.  The one-row totals cross is the benign
+    # scalar broadcast.
+    "dsir_weights": ([r"partial_count", r"partial_collect_list",
+                      r"BroadcastHashJoin"],
+                     [r"CartesianProduct",
+                      r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

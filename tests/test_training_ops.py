@@ -1427,3 +1427,114 @@ def test_lm_perplexity_planted(spark, tmp_path):
         assert abs(got[i][1] - exp[i][1]) <= 2e-6, (i, got[i], exp[i])
     assert got[1] == got[2]               # identical docs, same score
     assert got[1][1] < got[3][1]          # fluent < gibberish
+
+
+def _write_docs_lang(spark, tmp_path, docs):
+    """Like _write_docs but with an explicit lang per row — the DSIR
+    target slice needs a mixed-language corpus."""
+    rows = [(int(i), t, lang, "src0", len(t)) for i, lang, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).coalesce(1).write.mode("overwrite") \
+     .parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_dsir_weights_vs_duckdb(spark):
+    """Fifth EXTRA-lane operator: cell-exact (float columns bit-exact
+    via the portable ln + ordered fold) vs the DuckDB oracle on the
+    fixed corpus, plus the model's discriminating direction — target
+    (en) docs must score a higher mean importance weight than non-en
+    docs even on this near-homogeneous corpus (their own grams feed
+    the target counts)."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_dsir_weights
+
+    got = q_dsir_weights(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["dsir_weights"]).df()
+    docs = con.sql("SELECT doc_id, lang FROM documents").df()
+    _canon_frames(got, exp)
+    m = got.merge(docs, on="doc_id")
+    assert len(m) == len(docs)            # every doc scored
+    by = m.groupby(m.lang == "en").avg_logweight.mean()
+    assert by[True] > by[False]
+
+
+def test_dsir_weights_planted(spark, tmp_path):
+    """Semantics pinned against an independent pure-Python port of the
+    hashed-bucket model (hashlib md5, math.log; tolerance covers the
+    portable ln's ~1 ulp): a doc written in the target's vocabulary
+    gets selected even though its OWN lang label is not 'en' (DSIR
+    scores content, not labels), and a raw-leaning doc does not."""
+    import hashlib
+    import math
+
+    from dragnet_spark.queries import q_dsir_weights
+
+    # Counts must be commensurate with the K=4096 smoothing mass for
+    # a positive weight to be reachable (at toy counts the add-one
+    # prior flattens both models toward uniform and every weight goes
+    # slightly negative — the same reason the fixed 500-doc corpus
+    # selects nothing): replicate the target and raw-only base texts
+    # so nt=550, nq=2514, making ln((nq+K)/(nt+K)) ~ 0.35 per gram.
+    docs = ([(100 + i, "en", "alpha beta gamma delta alpha beta")
+             for i in range(25)]
+            + [(150 + i, "en", "alpha gamma beta delta beta alpha")
+               for i in range(25)]
+            + [(200 + i, "es", "uno dos tres cuatro cinco uno dos")
+               for i in range(150)]
+            + [(4, "de", "alpha beta gamma delta"),   # en-like content
+               (5, "fr", "uno dos tres cuatro")])     # raw-leaning
+    sf = _write_docs_lang(spark, tmp_path, docs)
+    got = {r.doc_id: r for r in q_dsir_weights(spark, sf).collect()}
+
+    def grams(t):
+        ts = t.split(" ")
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+
+    K = 4096
+    cq: dict = {}
+    ct: dict = {}
+    for _, lang, t in docs:
+        for g in grams(t):
+            b = bucket(g)
+            cq[b] = cq.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    nq, nt = sum(cq.values()), sum(ct.values())
+    for i, _, t in docs:
+        gs = grams(t)
+        lw = sum((math.log(ct.get(bucket(g), 0) + 1) - math.log(nt + K))
+                 - (math.log(cq[bucket(g)] + 1) - math.log(nq + K))
+                 for g in gs)
+        assert got[i].n_grams == len(gs)
+        assert abs(got[i].logweight - round(lw, 6)) <= 2e-6, (i, lw)
+        assert got[i].selected == (lw > 0.0)
+    assert got[4].selected and got[4].avg_logweight > 0
+    assert not got[5].selected and got[5].avg_logweight < 0
+
+
+def test_dsir_weights_plan(spark):
+    """Scale pins: the constant-size (<=4096-row) bucket relations
+    come back via BROADCAST hash joins (the hint is safe precisely
+    because K is a constant — the distinction the tfidf de-hinting
+    lesson drew), counts and the per-doc fold are map-side partials,
+    and the portable ln runs in codegen (no Python eval anywhere)."""
+    from dragnet_spark.queries import q_dsir_weights
+
+    df = q_dsir_weights(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert "partial_collect_list" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
