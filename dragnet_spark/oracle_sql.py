@@ -1253,3 +1253,25 @@ SELECT doc_id, COUNT(*) AS n_grams,
        list_sum(list(lw ORDER BY pos)) > 0.0 AS selected
 FROM scored GROUP BY doc_id
 """
+
+
+# Per-source token-budget sampling (EXTRA lane): DuckDB expresses the
+# grouped prefix-sum with the plain per-source window the Spark side
+# deliberately avoids (skew); all-integer, so cell equality is exact.
+EXTRA_ORACLE_SQL["mixture_budget_sample"] = """
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_before
+  FROM tok
+)
+SELECT doc_id, source, n_tok, cum_before,
+       cum_before < 500 AS kept
+FROM cum
+"""

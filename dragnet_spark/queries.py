@@ -2146,6 +2146,67 @@ def q_dsir_weights(spark, sf_dir):
                  (folded > F.lit(0.0)).alias("selected")))
 
 
+# Per-source token budget for q_mixture_budget_sample, sized so the
+# fixed 500-doc corpus (~1100 tokens/source) genuinely splits into
+# kept and dropped docs.
+_MIX_BUDGET = 500
+
+
+def q_mixture_budget_sample(spark, sf_dir):
+    """Deterministic mixture sampling under per-source token budgets:
+    every training-data pipeline caps each source's contribution
+    (DoReMi-style mixture weights realized as token budgets).  Docs
+    are visited in a deterministic pseudo-random order within their
+    source (shuffle key = md5(doc_id) — reproducible across runs and
+    engines), and a doc is kept iff the tokens accumulated BEFORE it
+    are still under the budget (overshoot bounded by one document, so
+    the kept set is exactly a prefix of the shuffled order).  Output:
+    (doc_id, source, n_tok, cum_before, kept) for every doc.
+
+    Scale shape: the naive form is a Window partitionBy(source) — a
+    per-source sort, i.e. ONE task per source, and a 10^12-doc corpus
+    with 20 sources is a 20-task skew disaster.  Instead the keyed
+    two-level scan (the q_sequence_pack pattern, generalized to a
+    grouped prefix-sum): the shuffle key's FIRST BYTE is the bucket,
+    and because the bucket is a PREFIX of the key, ordering by
+    (bucket, key) equals ordering by key — so per-(source, bucket)
+    partial sums (256 buckets/source; 4 hex chars at web scale),
+    per-source bucket offsets via a Window over the tiny
+    sources x 256 relation PARTITIONED BY SOURCE (no SinglePartition
+    anywhere in this plan — unlike sequence_pack's global scan, the
+    keyed scan parallelizes the offset level too), broadcast back,
+    and a within-bucket cumsum partitioned by (source, bucket).
+    Per-source parallelism is 256 tasks regardless of source skew.
+    Pinned: zero SinglePartition exchanges in the executed plan.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL (DuckDB uses the plain
+    per-source window — exactness is engine-trivial there) + the
+    random-corpus fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"))
+    tok = tok.withColumn("b", F.substring("k", 1, 2))
+    bs = tok.groupBy("source", "b").agg(F.sum("n_tok").alias("b_tok"))
+    w_off = (Window.partitionBy("source").orderBy("b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    boff = bs.select("source", "b",
+                     F.coalesce(F.sum("b_tok").over(w_off), F.lit(0))
+                      .alias("b_off"))
+    w_in = (Window.partitionBy("source", "b").orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (tok.join(F.broadcast(boff), ["source", "b"])
+           .select("doc_id", "source", "n_tok",
+                   (F.col("b_off")
+                    + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
+                   .alias("cum_before")))
+    return cum.select("doc_id", "source", "n_tok", "cum_before",
+                      (F.col("cum_before") < F.lit(_MIX_BUDGET))
+                      .alias("kept"))
+
+
 # Driver-gate registry.  The driver's correctness gate caps at 50
 # queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
 # verdict #1), so this dict is kept at <= 41 entries and
@@ -2210,4 +2271,5 @@ EXTRA_QUERIES = {
     "sequence_pack": q_sequence_pack,
     "lm_perplexity": q_lm_perplexity,
     "dsir_weights": q_dsir_weights,
+    "mixture_budget_sample": q_mixture_budget_sample,
 }

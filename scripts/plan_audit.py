@@ -176,6 +176,16 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                       r"BroadcastHashJoin"],
                      [r"CartesianProduct",
                       r"BatchEvalPython", r"LocalTableScan"]),
+    # Mixture budget sampling (EXTRA_QUERIES): the keyed two-level
+    # scan — per-(source, key-prefix-bucket) partial sums, per-source
+    # offsets window over the tiny bucket relation, broadcast back —
+    # leaves NO SinglePartition exchange anywhere (the naive
+    # per-source Window is a one-task-per-source skew disaster).
+    "mixture_budget_sample": ([r"partial_sum", r"BroadcastHashJoin",
+                               r"windowspecdefinition\(source#"],
+                              [r"CartesianProduct", r"SinglePartition",
+                               r"BroadcastNestedLoopJoin",
+                               r"LocalTableScan"]),
 }
 
 

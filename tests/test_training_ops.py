@@ -1538,3 +1538,96 @@ def test_dsir_weights_plan(spark):
     assert "partial_collect_list" in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_mixture_budget_sample_vs_duckdb(spark):
+    """Sixth EXTRA-lane operator: cell-exact vs the DuckDB oracle on
+    the fixed corpus, and the budget genuinely bites — every source
+    keeps some docs and drops some — plus the prefix property that
+    makes greedy budget sampling well-defined: within each source,
+    sorted by the shuffle key, the kept set is exactly the docs whose
+    preceding-token count is under budget (never a hole)."""
+    import duckdb
+    import hashlib
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_mixture_budget_sample
+
+    got = q_mixture_budget_sample(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["mixture_budget_sample"]).df()
+    _canon_frames(got, exp)
+    ks = got.groupby("source").kept.agg(["sum", "count"])
+    assert (ks["sum"] > 0).all() and (ks["sum"] < ks["count"]).all()
+    got["k"] = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in got.doc_id]
+    for _, grp in got.groupby("source"):
+        grp = grp.sort_values("k")
+        run = 0
+        for _, r in grp.iterrows():
+            assert r.cum_before == run
+            assert r.kept == (run < 500)
+            run += r.n_tok
+
+
+def test_mixture_budget_sample_planted(spark, tmp_path):
+    """Pinned semantics on a hand-built two-source corpus, including
+    the overshoot-by-one rule: a doc LARGER than the whole budget is
+    still kept when it lands first in shuffle order (cum_before=0),
+    and everything after the budget point is dropped.  Expected rows
+    computed by an independent hashlib/python reference."""
+    import hashlib
+
+    from dragnet_spark.queries import q_mixture_budget_sample
+
+    rows = [(i, " ".join(["w"] * n), "en", src, n)
+            for i, n, src in [
+                (1, 600, "big"),     # alone exceeds the 500 budget
+                (2, 30, "big"),
+                (3, 40, "big"),
+                (10, 200, "small"), (11, 200, "small"),
+                (12, 200, "small"), (13, 200, "small")]]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).coalesce(1).write.mode("overwrite") \
+     .parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.doc_id: (r.cum_before, r.kept)
+           for r in q_mixture_budget_sample(spark, str(tmp_path)).collect()}
+
+    exp = {}
+    for src in ("big", "small"):
+        docs = [(hashlib.md5(str(i).encode()).hexdigest(), i, n)
+                for i, n, s in [(1, 600, "big"), (2, 30, "big"),
+                                (3, 40, "big"), (10, 200, "small"),
+                                (11, 200, "small"), (12, 200, "small"),
+                                (13, 200, "small")] if s == src]
+        run = 0
+        for _, i, n in sorted(docs):
+            exp[i] = (run, run < 500)
+            run += n
+    assert got == exp
+    # the source whose giant doc came first must show the overshoot
+    # rule somewhere: at least one kept doc with cum_before + n_tok
+    # over budget, or the giant itself kept at cum_before 0.
+    assert got[1][1] == (exp[1][0] < 500)
+
+
+def test_mixture_budget_sample_plan(spark):
+    """Scale pins: the keyed two-level scan leaves ZERO SinglePartition
+    exchanges in the executed plan (the offsets window is partitioned
+    by source; the corpus window by (source, bucket)) — the naive
+    per-source Window would be a one-task-per-source skew disaster —
+    and the tiny offsets relation comes back via broadcast."""
+    from dragnet_spark.queries import q_mixture_budget_sample
+
+    df = q_mixture_budget_sample(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange SinglePartition") == 0, final
+    assert "BroadcastHashJoin" in final
+    assert "windowspecdefinition(source#" in final
+    assert "CartesianProduct" not in final
