@@ -1275,3 +1275,56 @@ SELECT doc_id, source, n_tok, cum_before,
        cum_before < 500 AS kept
 FROM cum
 """
+
+
+def _exp_sql(col: str) -> str:
+    """DuckDB twin of queries.exp_portable — the SAME fixed-order
+    IEEE-754 expression (k = floor(x/ln2 + 1/2) reduction + 14-term
+    Taylor Horner + exact 2^k), bit-identical across engines.
+    Matched pair: edits must be mirrored in queries.exp_portable
+    (test_exp_portable_cross_engine pins the parity)."""
+    import math
+
+    ln2 = "0.6931471805599453"
+    coefs = [repr(1.0 / math.factorial(i)) for i in range(2, 15)]
+    p = coefs[-1]
+    for c in reversed(coefs[:-1]):
+        p = f"({p} * __R + {c})"
+    k = f"FLOOR({col} / {ln2} + 0.5)"
+    r = f"({col} - CAST({k} AS DOUBLE) * {ln2})"
+    body = (f"((1.0 + __R * (1.0 + __R * {p}))"
+            f" * power(2.0, CAST({k} AS DOUBLE)))")
+    return body.replace("__R", r)
+
+
+# DoReMi-style domain reweighting (EXTRA lane): per-source mean
+# bigram-LM cross-entropy via FIXED-POINT exact aggregation (the CE
+# is ROUND(...,6), so micro-unit BIGINT sums are lossless and
+# order-independent), one EG step via the portable exp, normalizer Z
+# through the same fixed-point trick at 1e9.
+EXTRA_ORACLE_SQL["domain_reweight"] = f"""
+WITH ce AS ({EXTRA_ORACLE_SQL['lm_perplexity']}),
+per AS (
+  SELECT d.source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(ROUND(ce.cross_entropy * 1e6, 0) AS BIGINT))
+              AS BIGINT) AS s_micro
+  FROM ce JOIN documents d USING (doc_id)
+  GROUP BY d.source
+), avg AS (
+  SELECT source, n_docs,
+         CAST(s_micro AS DOUBLE)
+           / (CAST(n_docs AS DOUBLE) * 1e6) AS avg_ce
+  FROM per
+), scored AS (
+  SELECT source, n_docs, avg_ce,
+         ROUND({_exp_sql('avg_ce')}, 9) AS raw9
+  FROM avg
+), z AS (
+  SELECT CAST(SUM(CAST(ROUND(raw9 * 1e9, 0) AS BIGINT)) AS BIGINT)
+           AS z_micro
+  FROM scored
+)
+SELECT source, n_docs, ROUND(avg_ce, 6) AS avg_ce,
+       ROUND(raw9 / (CAST(z_micro AS DOUBLE) / 1e9), 6) AS weight
+FROM scored CROSS JOIN z
+"""

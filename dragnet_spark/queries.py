@@ -2207,6 +2207,90 @@ def q_mixture_budget_sample(spark, sf_dir):
                       .alias("kept"))
 
 
+# Portable exp — the twin of ln_portable_int, for the same reason
+# (engine libms disagree in the last ulp): k = floor(x/ln2 + 1/2)
+# (identical double ops -> identical k on both engines), r = x - k*ln2
+# in [-ln2/2, ln2/2], exp(r) via a 14-term Taylor Horner, times the
+# exact 2^k.  Matched pair with oracle_sql._exp_sql; bit parity
+# pinned in test_exp_portable_cross_engine (~4 ulp accuracy
+# measured).  Valid for |x| <~ 700 (double overflow), far beyond the
+# loss magnitudes it is used on.
+_INV_FACT = (0.5,
+             0.16666666666666666, 0.041666666666666664,
+             0.008333333333333333, 0.001388888888888889,
+             0.0001984126984126984, 2.48015873015873e-05,
+             2.7557319223985893e-06, 2.755731922398589e-07,
+             2.505210838544172e-08, 2.08767569878681e-09,
+             1.6059043836821613e-10, 1.1470745597729725e-11)
+
+
+def exp_portable(x):
+    """Bit-portable exp of a double column (|x| <~ 700)."""
+    k = F.floor(x / F.lit(_LN2) + F.lit(0.5))
+    r = x - k.cast("double") * F.lit(_LN2)
+    p = F.lit(_INV_FACT[-1])
+    for c in reversed(_INV_FACT[:-1]):
+        p = p * r + F.lit(c)
+    er = F.lit(1.0) + r * (F.lit(1.0) + r * p)
+    return er * F.pow(F.lit(2.0), k.cast("double"))
+
+
+def q_domain_reweight(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie, Pham et al. 2023): one
+    exponentiated-gradient step over per-domain loss — each source's
+    mixture weight w_d proportional to exp(eta * L_d) (uniform prior,
+    eta = 1), where L_d is the source's mean bigram-LM cross-entropy
+    from q_lm_perplexity (high-loss domains get UPweighted so the
+    model trains where it is weakest — DoReMi's excess-loss signal,
+    with this corpus-trained LM standing in for the proxy/reference
+    model pair).  Output: (source, n_docs, avg_ce, weight), weights
+    summing to 1.
+
+    Determinism — two portable pieces beyond the ln story:
+    (1) FIXED-POINT EXACT AGGREGATION: the per-source mean of the
+    per-doc CE doubles would be order-dependent under float SUM (and
+    an ordered collect_list fold is unbounded at web per-source doc
+    counts).  The CE values are already ROUND(..., 6), so
+    CAST(ROUND(ce * 1e6) AS BIGINT) is lossless; BIGINT sums are
+    associative-exact, so ANY aggregation order gives the same sum —
+    the scalable alternative to the ordered-fold pattern (headroom:
+    2^53 / 1e6 ~ 9e9 CE units per source before overflow; at larger
+    scale, sum into DECIMAL).  (2) exp_portable (above) for the EG
+    step, and the tiny normalizer Z re-uses the same fixed-point
+    trick at 1e9 resolution over ROUND(raw, 9) so the final division
+    is identical on both engines.
+
+    Scale shape: the heavy part is lm_perplexity (audited
+    separately); on top of it sits one doc_id join against the
+    (doc_id, source) projection and a partial-aggregated rollup to
+    #domains rows — everything after that is constant-size.
+
+    Gate note: ships in EXTRA_QUERIES; dual-engine checked via
+    EXTRA_ORACLE_SQL + the random-corpus fuzz."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ce = q_lm_perplexity(spark, sf_dir)
+    per = (ce.join(d, "doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.round(F.col("cross_entropy") * 1e6, 0)
+                      .cast("bigint")).alias("s_micro")))
+    avg = (per.select(
+        "source", "n_docs",
+        (F.col("s_micro").cast("double")
+         / (F.col("n_docs").cast("double") * F.lit(1e6))).alias("avg_ce")))
+    raw9 = F.round(exp_portable(F.col("avg_ce")), 9)
+    scored = avg.select("source", "n_docs", "avg_ce",
+                        raw9.alias("raw9"))
+    z = scored.agg(F.sum(F.round(F.col("raw9") * 1e9, 0).cast("bigint"))
+                   .alias("z_micro"))
+    return (scored.crossJoin(F.broadcast(z))
+            .select("source", "n_docs",
+                    F.round(F.col("avg_ce"), 6).alias("avg_ce"),
+                    F.round(F.col("raw9")
+                            / (F.col("z_micro").cast("double") / F.lit(1e9)),
+                            6).alias("weight")))
+
+
 # Driver-gate registry.  The driver's correctness gate caps at 50
 # queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
 # verdict #1), so this dict is kept at <= 41 entries and
@@ -2272,4 +2356,5 @@ EXTRA_QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "dsir_weights": q_dsir_weights,
     "mixture_budget_sample": q_mixture_budget_sample,
+    "domain_reweight": q_domain_reweight,
 }

@@ -186,6 +186,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
                               [r"CartesianProduct", r"SinglePartition",
                                r"BroadcastNestedLoopJoin",
                                r"LocalTableScan"]),
+    # DoReMi domain reweighting (EXTRA_QUERIES): the rollup above the
+    # separately-audited lm_perplexity chain is one partial-agg to
+    # #domains rows; the portable exp stays in codegen; only
+    # nested-loop joins are the benign one-row scalar broadcasts
+    # (vocab V and normalizer Z).
+    "domain_reweight": ([r"partial_sum", r"partial_count"],
+                        [r"CartesianProduct", r"BatchEvalPython",
+                         r"LocalTableScan"]),
 }
 
 

@@ -1631,3 +1631,99 @@ def test_mixture_budget_sample_plan(spark):
     assert "BroadcastHashJoin" in final
     assert "windowspecdefinition(source#" in final
     assert "CartesianProduct" not in final
+
+
+def test_exp_portable_cross_engine(spark):
+    """The matched pair queries.exp_portable / oracle_sql._exp_sql must
+    be BIT-IDENTICAL across engines (same reason the portable ln
+    exists: libm exp differs in the last ulp) and track numpy's exp
+    to a few ulps over the loss-magnitude range it is used on."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.oracle_sql import _exp_sql
+    from dragnet_spark.queries import exp_portable
+
+    vals = sorted(set([i / 1e5 for i in range(0, 1200000, 7919)]
+                      + [-x / 1e4 for x in range(1, 90000, 997)]
+                      + [0.0, 1.0, -1.0, 12.5, -12.5]))
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    ps = df.select("x", exp_portable(F.col("x")).alias("e")).toPandas()
+    con = duckdb.connect()
+    con.register("t", ps[["x"]])
+    pdk = con.sql(f"SELECT x, {_exp_sql('x')} AS e FROM t").df()
+    m = ps.merge(pdk, on="x", suffixes=("_s", "_d"))
+    assert len(m) == len(vals)
+    mism = m[m.e_s != m.e_d]
+    assert mism.empty, mism.head().to_string()
+    rel = np.abs(m.e_s.values - np.exp(m.x.values)) / np.exp(m.x.values)
+    assert rel.max() < 1e-14
+
+
+def test_domain_reweight_vs_duckdb(spark):
+    """Seventh EXTRA-lane operator: cell-exact vs the DuckDB oracle
+    (fixed-point aggregation + portable exp make even the float
+    columns bit-exact), weights a valid distribution, and the EG
+    direction holds: the per-source weight ordering IS the avg-CE
+    ordering (higher loss, higher weight)."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_domain_reweight
+
+    got = q_domain_reweight(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["domain_reweight"]).df()
+    _canon_frames(got, exp)
+    assert abs(got.weight.sum() - 1.0) < 2e-5
+    s = got.sort_values(["avg_ce", "source"])
+    assert s.weight.is_monotonic_increasing
+
+
+def test_domain_reweight_planted(spark, tmp_path):
+    """A gibberish domain (every bigram unique -> high cross-entropy)
+    must be UPweighted relative to a fluent domain of repeated text
+    (DoReMi's direction: train more where loss is high), and the
+    weight ratio must match exp(ce_noise - ce_fluent) to rounding
+    tolerance (eta = 1)."""
+    import math
+
+    from dragnet_spark.queries import q_domain_reweight
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = ([(i, fluent, "en", "fluent", len(fluent)) for i in range(8)]
+            + [(100 + i,
+                " ".join(f"z{100 * i + j}" for j in range(12)),
+                "en", "noise", 60) for i in range(8)])
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).coalesce(1).write.mode("overwrite") \
+     .parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.source: r for r in
+           q_domain_reweight(spark, str(tmp_path)).collect()}
+    assert set(got) == {"fluent", "noise"}
+    assert got["noise"].avg_ce > got["fluent"].avg_ce
+    assert got["noise"].weight > got["fluent"].weight
+    assert abs(got["noise"].weight + got["fluent"].weight - 1.0) < 2e-6
+    expected_ratio = math.exp(got["noise"].avg_ce - got["fluent"].avg_ce)
+    assert abs(got["noise"].weight / got["fluent"].weight
+               - expected_ratio) < 1e-4
+
+
+def test_domain_reweight_plan(spark):
+    """The rollup on top of lm_perplexity stays partial-aggregated and
+    Python-free; the only nested-loop join is the benign one-row Z
+    broadcast."""
+    from dragnet_spark.queries import q_domain_reweight
+
+    df = q_domain_reweight(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_sum" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
