@@ -1328,3 +1328,136 @@ SELECT source, n_docs, ROUND(avg_ce, 6) AS avg_ce,
        ROUND(raw9 / (CAST(z_micro AS DOUBLE) / 1e9), 6) AS weight
 FROM scored CROSS JOIN z
 """
+
+
+# SemDeDup (EXTRA lane): the shared exact-arithmetic Lloyd update
+# (same CTE chain as ann_ivf_kmeans), then within-cluster greedy
+# dedup in the released implementation's order — descending centroid
+# similarity, ties by vec_id; max over ALL earlier members, no
+# recursion.  Every similarity is a _QCOS over exact BIGINT dots, so
+# both engines agree bitwise including the order predicate.
+_QCOS = ("CASE WHEN {na} = 0 AND {nb} = 0 THEN 1.0 "
+         "WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+         "ELSE CAST({num} AS DOUBLE) "
+         "/ (SQRT(CAST({na} AS DOUBLE)) * SQRT(CAST({nb} AS DOUBLE))) "
+         "END")
+
+EXTRA_ORACLE_SQL["semantic_dedup"] = """
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+             AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, qv AS sv, CAST(1 AS BIGINT) AS cn
+  FROM eq WHERE vec_id < 16
+), d1 AS (
+  SELECT e.vec_id, c.cid,
+         CAST({svsv0} - 2 * c.cn * {xsv0} AS DOUBLE)
+           / CAST(c.cn * c.cn AS DOUBLE) AS score
+  FROM eq e, c0 c
+), a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score, cid) AS rn
+    FROM d1) WHERE rn = 1
+), s1 AS (
+  SELECT a1.cluster, r.range AS pos,
+         CAST(SUM(eq.qv[r.range + 1]) AS BIGINT) AS s
+  FROM a1 JOIN eq USING (vec_id), range(64) r
+  GROUP BY 1, 2
+), n1 AS (
+  SELECT cluster, COUNT(*) AS cn FROM a1 GROUP BY 1
+), c1 AS (
+  SELECT s1.cluster AS cid, list(s1.s ORDER BY s1.pos) AS sv,
+         CAST(n1.cn AS BIGINT) AS cn
+  FROM s1 JOIN n1 USING (cluster)
+  GROUP BY s1.cluster, n1.cn
+), d2 AS (
+  SELECT e.vec_id, c.cid,
+         CAST({svsv1} - 2 * c.cn * {xsv1} AS DOUBLE)
+           / CAST(c.cn * c.cn AS DOUBLE) AS score
+  FROM eq e, c1 c
+), a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score, cid) AS rn
+    FROM d2) WHERE rn = 1
+), mem AS (
+  SELECT a2.vec_id, a2.cluster, e.qv,
+         {nq} AS nq, {numcs} AS num, {nsv} AS nsv
+  FROM a2 JOIN eq e USING (vec_id) JOIN c1 c ON a2.cluster = c.cid
+), scored AS (
+  SELECT vec_id, cluster, qv, nq, {cs} AS cs
+  FROM mem
+), mp AS (
+  SELECT v.vec_id AS vec_id, MAX({uv}) AS max_prev
+  FROM scored v JOIN scored u
+    ON u.cluster = v.cluster
+   AND (u.cs > v.cs OR (u.cs = v.cs AND u.vec_id < v.vec_id))
+  GROUP BY v.vec_id
+)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       ROUND(s.cs, 6) AS centroid_sim,
+       ROUND(COALESCE(mp.max_prev, -1.0), 6) AS max_prev_sim,
+       COALESCE(mp.max_prev, -1.0) < 0.8 AS kept
+FROM scored s LEFT JOIN mp USING (vec_id)
+""".format(svsv0=_QDOT.format(a="c.sv", b="c.sv"),
+           xsv0=_QDOT.format(a="e.qv", b="c.sv"),
+           svsv1=_QDOT.format(a="c.sv", b="c.sv"),
+           xsv1=_QDOT.format(a="e.qv", b="c.sv"),
+           nq=_QDOT.format(a="e.qv", b="e.qv"),
+           numcs=_QDOT.format(a="e.qv", b="c.sv"),
+           nsv=_QDOT.format(a="c.sv", b="c.sv"),
+           cs=_QCOS.format(num="num", na="nq", nb="nsv"),
+           uv=_QCOS.format(
+               num=_QDOT.format(a="u.qv", b="v.qv"),
+               na="u.nq", nb="v.nq"))
+
+
+def _bm25_sql() -> str:
+    """BM25 oracle (EXTRA lane), mirroring queries.q_bm25_topk
+    subexpression-by-subexpression: integer tf/df/dl, ONE double
+    division for avgdl, idf as a difference of portable integer lns,
+    contributions summed in fixed written order."""
+    terms = ("spark", "window", "merge")
+    k1, b = 1.2, 0.75
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS df{i}" for i in range(len(terms)))
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    score = "0.0"
+    for i in range(len(terms)):
+        idf = (f"({_ln_int_sql('(2 * n_docs + 2)')}"
+               f" - {_ln_int_sql(f'(2 * df{i} + 1)')})")
+        tf = f"CAST(tf{i} AS DOUBLE)"
+        denom = (f"({tf} + {k1!r} * (1.0 - {b!r} + {b!r}"
+                 f" * CAST(dl AS DOUBLE) / {avgdl}))")
+        score = f"{score} + ({idf} * ({tf} * {k1 + 1.0!r})) / {denom}"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, dl, ROUND({score}, 6) AS score_bm25
+FROM base CROSS JOIN stats
+ORDER BY score_bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+EXTRA_ORACLE_SQL["bm25_topk"] = _bm25_sql()

@@ -843,17 +843,14 @@ def _kmeans_assign(eq: DataFrame, cents: DataFrame) -> DataFrame:
             .select("vec_id", F.col("m.cid").alias("cluster")))
 
 
-def q_ann_ivf_kmeans(spark, sf_dir):
-    """IVF with LEARNED centroids: one exact-arithmetic Lloyd update
-    (init = vectors 0..15, assign, elementwise-mean update, reassign),
-    then probe the query vector's learned cell with the exact
-    pinned-order cosine.  Everything distributed: centroids are a
-    16-row DataFrame broadcast into the assignment join (k-means'
-    centroid table is small by definition); updates are
-    posexplode->sum BIGINT aggregations, bit-reproducible across
-    engines because the vectors are floor-quantized to integers."""
-    e = _t(spark, sf_dir, "embeddings")
-    eq = e.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+def _kmeans_fit(eq: DataFrame):
+    """One exact-arithmetic Lloyd update over quantized vectors (init =
+    vectors 0..15, assign, elementwise-mean update, reassign): returns
+    ``(assignments, centroids)`` — ``(vec_id, cluster)`` and
+    ``(cid, sv, cn)`` where centroid cid is the rational mean sv/cn.
+    Updates are posexplode->sum BIGINT aggregations, bit-reproducible
+    across engines because the vectors are floor-quantized to integers
+    (shared by q_ann_ivf_kmeans and q_semantic_dedup)."""
     c0 = (eq.where(F.col("vec_id") < 16)
           .select(F.col("vec_id").alias("cid"), F.col("qv").alias("sv"),
                   F.lit(1).cast("bigint").alias("cn")))
@@ -868,7 +865,18 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     counts = a1.groupBy("cluster").agg(F.count(F.lit(1)).alias("cn"))
     c1 = (sums.join(counts, "cluster")
           .select(F.col("cluster").alias("cid"), "sv", "cn"))
-    a2 = _kmeans_assign(eq, c1)
+    return _kmeans_assign(eq, c1), c1
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with LEARNED centroids: one exact-arithmetic Lloyd update
+    (see _kmeans_fit), then probe the query vector's learned cell with
+    the exact pinned-order cosine.  Everything distributed: centroids
+    are a 16-row DataFrame broadcast into the assignment join (k-means'
+    centroid table is small by definition)."""
+    e = _t(spark, sf_dir, "embeddings")
+    eq = e.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    a2, _ = _kmeans_fit(eq)
     qcell = F.broadcast(a2.where(F.col("vec_id") == 0)
                         .select(F.col("cluster").alias("qcell")))
     qe = F.broadcast(e.where(F.col("vec_id") == 0)
@@ -2291,6 +2299,163 @@ def q_domain_reweight(spark, sf_dir):
                             6).alias("weight")))
 
 
+# BM25 constants (Robertson & Zaragoza 2009 defaults) and the fixed
+# keyword query.  The idf is Lucene's non-negative variant
+# ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)) — a ratio of
+# INTEGERS, so it evaluates as a difference of two portable integer
+# lns (no float ln anywhere).
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (Robertson & Zaragoza 2009; the Lucene
+    practical-scoring variant): score every document against the fixed
+    keyword query and return the top-10 — the lexical twin of the ANN
+    suite's dense retrieval (production retrieval stacks run BOTH and
+    fuse).  score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with k1 = 1.2, b = 0.75, dl = document token length, avgdl the
+    corpus mean.
+
+    Determinism: idf_t = ln((2N+2)/(2df_t+1)) is a difference of two
+    ln_portable_int values (bit-identical across engines); tf/df/dl
+    are exact BIGINTs; avgdl is ONE double division of exact BIGINTs;
+    the per-term contributions are summed in fixed written order
+    (3 terms), and every float subexpression is written with the same
+    association on both engines.  Ties in the top-10 break by doc_id.
+
+    Scale shape: per-document tf/dl are per-row array expressions (no
+    explode — the query has 3 terms, not the corpus vocabulary), the
+    corpus statistics (N, sum dl, per-term df) collapse to ONE row via
+    a map-side partial aggregation broadcast back, and the top-10 is a
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus
+    anywhere.  At a 10^12-doc corpus this is one narrow scan + one
+    scalar broadcast; a longer query adds columns, not shuffles.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    def _eq(term):
+        # NB: a two-arg lambda would be read by F.filter as
+        # (element, index) — close over the term instead.
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [F.size(F.filter(ts, _eq(t))).cast("bigint").alias(f"tf{i}")
+               for i, t in enumerate(_BM25_TERMS)]
+    base = d.select("doc_id", F.size(ts).cast("bigint").alias("dl"),
+                    *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+          for i in range(len(_BM25_TERMS))])
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(_BM25_TERMS)):
+        idf = ln_portable_int(F.lit(2) * F.col("n_docs") + F.lit(2)) \
+            - ln_portable_int(F.lit(2) * F.col(f"df{i}") + F.lit(1))
+        tf = F.col(f"tf{i}").cast("double")
+        denom = tf + F.lit(_BM25_K1) * (F.lit(1.0) - F.lit(_BM25_B)
+                                        + F.lit(_BM25_B)
+                                        * F.col("dl").cast("double")
+                                        / avgdl)
+        score = score + idf * (tf * F.lit(_BM25_K1 + 1.0)) / denom
+    return (base.crossJoin(F.broadcast(stats))
+            .select("doc_id", "dl", F.round(score, 6).alias("score_bm25"))
+            .orderBy(F.desc("score_bm25"), F.asc("doc_id"))
+            .limit(10))
+
+
+# SemDeDup similarity threshold: members whose max cosine to any
+# earlier-ordered cluster member reaches tau are dropped (1 - eps in
+# the paper's notation, eps = 0.2).
+_SEM_TAU = 0.8
+
+
+def _qcos(num, na, nb):
+    """Bit-portable cosine from exact BIGINT dot products: one double
+    cast per operand (exact below 2^53), two IEEE sqrts, one multiply,
+    one division — no accumulation order anywhere, so Spark and DuckDB
+    agree to the last bit.  Zero-norm guards: two zero vectors are
+    identical (sim 1), one zero vector is similar to nothing (sim 0)."""
+    return (F.when((na == 0) & (nb == 0), F.lit(1.0))
+            .when((na == 0) | (nb == 0), F.lit(0.0))
+            .otherwise(num.cast("double")
+                       / (F.sqrt(na.cast("double"))
+                          * F.sqrt(nb.cast("double")))))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of the embedding table — cluster with k-means, then
+    within each cluster drop every member whose cosine similarity to
+    an EARLIER-ordered member reaches tau = 0.8.  The order is the
+    released implementation's: descending similarity to the cluster
+    centroid (most-typical first), ties by vec_id; like that
+    implementation the max is taken over ALL earlier members (kept or
+    not), which needs no recursion.  Output: (vec_id, cluster,
+    centroid_sim, max_prev_sim [-1 when the member is first in its
+    cluster], kept).
+
+    Determinism: clustering is the shared exact-arithmetic Lloyd
+    update (_kmeans_fit); every similarity is computed on the
+    floor-quantized integer vectors via _qcos — exact BIGINT dot
+    products (fuzz bound: |q| <= 301, n <= 2000 => qdot(sv, sv) <
+    6e14 < 2^53), so no float accumulation order exists anywhere and
+    both engines agree bitwise, including the order predicate's raw
+    float comparisons.
+
+    Scale shape: the pairwise comparison is confined WITHIN clusters —
+    the paper's whole point (k ~ sqrt(N) keeps expected cluster size
+    ~ sqrt(N), so cluster-pairwise is O(N^1.5) not O(N^2) — at 10^12
+    docs k ~ 10^6 and the per-cluster work is bounded); it is ONE
+    self-join shuffled on the cluster key, partial-agg MAX per member
+    (no pair materialization past the join), and a hot cluster
+    fans out over the join's salt-able key, the same lever every
+    bucket self-join in this file documents.  Centroids (<= 16 rows
+    here, ~10^6 at web scale: still a broadcast table) are broadcast
+    into both the assignment and the member-similarity joins.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    e = _t(spark, sf_dir, "embeddings")
+    eq = e.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    a2, c1 = _kmeans_fit(eq)
+    m = (a2.join(eq, "vec_id")
+         .join(F.broadcast(c1), a2.cluster == c1.cid)
+         .select("vec_id", "cluster", "qv",
+                 _qdot(F.col("qv"), F.col("qv")).alias("nq"),
+                 _qcos(_qdot(F.col("qv"), F.col("sv")),
+                       _qdot(F.col("qv"), F.col("qv")),
+                       _qdot(F.col("sv"), F.col("sv"))).alias("cs")))
+    u = m.select(F.col("vec_id").alias("u_id"),
+                 F.col("cluster").alias("u_cl"),
+                 F.col("qv").alias("u_qv"), F.col("nq").alias("u_nq"),
+                 F.col("cs").alias("u_cs"))
+    v = m.select(F.col("vec_id").alias("v_id"),
+                 F.col("cluster").alias("v_cl"),
+                 F.col("qv").alias("v_qv"), F.col("nq").alias("v_nq"),
+                 F.col("cs").alias("v_cs"))
+    prior = (F.col("u_cs") > F.col("v_cs")) | \
+            ((F.col("u_cs") == F.col("v_cs"))
+             & (F.col("u_id") < F.col("v_id")))
+    sim = _qcos(_qdot(F.col("u_qv"), F.col("v_qv")),
+                F.col("u_nq"), F.col("v_nq"))
+    mp = (u.join(v, (F.col("u_cl") == F.col("v_cl")) & prior)
+          .groupBy("v_id").agg(F.max(sim).alias("max_prev")))
+    prev = F.coalesce(F.col("max_prev"), F.lit(-1.0))
+    return (m.join(mp, m.vec_id == mp.v_id, "left")
+            .select(m.vec_id,
+                    F.col("cluster").cast("bigint").alias("cluster"),
+                    F.round(F.col("cs"), 6).alias("centroid_sim"),
+                    F.round(prev, 6).alias("max_prev_sim"),
+                    (prev < F.lit(_SEM_TAU)).alias("kept")))
+
+
 # Driver-gate registry.  The driver's correctness gate caps at 50
 # queries (CORRECTNESS_r04 silently dropped entries 51-55 — r4
 # verdict #1), so this dict is kept at <= 41 entries and
@@ -2357,4 +2522,6 @@ EXTRA_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "mixture_budget_sample": q_mixture_budget_sample,
     "domain_reweight": q_domain_reweight,
+    "semantic_dedup": q_semantic_dedup,
+    "bm25_topk": q_bm25_topk,
 }

@@ -194,6 +194,20 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "domain_reweight": ([r"partial_sum", r"partial_count"],
                         [r"CartesianProduct", r"BatchEvalPython",
                          r"LocalTableScan"]),
+    # SemDeDup (EXTRA_QUERIES): clustering is the shared exact Lloyd
+    # update (its <= 16-row centroid broadcasts are the only
+    # nested-loop joins); the pairwise stage is ONE equi-join on the
+    # cluster key with a map-side partial MAX — cluster-confined,
+    # never a corpus-level cartesian.
+    "semantic_dedup": ([r"partial_max"],
+                       [r"CartesianProduct", r"BatchEvalPython",
+                        r"LocalTableScan"]),
+    # BM25 (EXTRA_QUERIES): per-doc tf/dl are per-row array exprs (no
+    # explode), the corpus stats collapse to ONE broadcast row, and
+    # the top-10 is a TakeOrdered — the corpus never shuffles.
+    "bm25_topk": ([r"TakeOrderedAndProject", r"partial_count"],
+                  [r"SortMergeJoin", r"CartesianProduct",
+                   r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

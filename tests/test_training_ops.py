@@ -1727,3 +1727,194 @@ def test_domain_reweight_plan(spark):
     assert "partial_sum" in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_semantic_dedup_vs_duckdb(spark):
+    """Eighth EXTRA-lane operator (SemDeDup): cell-exact vs the DuckDB
+    oracle (every similarity rides exact BIGINT dot products, so even
+    the order predicate's raw float comparisons agree bitwise), and
+    the greedy contract holds: per cluster, the first-ordered member
+    (max centroid_sim, ties by vec_id) has no predecessor and is
+    kept."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_semantic_dedup
+
+    got = q_semantic_dedup(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{SF}/embeddings.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["semantic_dedup"]).df()
+    _canon_frames(got, exp)
+    firsts = (got.sort_values(["centroid_sim", "vec_id"],
+                              ascending=[False, True])
+              .groupby("cluster").head(1))
+    assert (firsts.max_prev_sim == -1.0).all()
+    assert firsts.kept.all()
+
+
+def test_semantic_dedup_planted(spark, tmp_path):
+    """Planted geometry pins the SemDeDup semantics: 16 orthogonal
+    initializer directions, then a trio of near-identical vectors in
+    direction 0 (one exact duplicate, one noise-perturbed) and an
+    exact duplicate of initializer 1.  The trio + its initializer
+    collapse to ONE kept member; the duplicated initializer's cluster
+    keeps only the earlier copy; untouched orthogonal directions stay
+    kept (cluster confinement: nothing is ever compared across
+    clusters)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_semantic_dedup
+
+    dim = 64
+    vecs = []
+    for i in range(16):                     # orthogonal initializers
+        v = np.zeros(dim, dtype=np.float32)
+        v[i] = 0.3
+        vecs.append(v)
+    v16 = vecs[0].copy()
+    v16[40] = 0.01                          # cos to e0 ~ 0.9994
+    vecs.append(v16)
+    vecs.append(v16.copy())                 # 17: exact duplicate
+    v18 = v16.copy()
+    v18[41] = 0.02                          # still cos > 0.99 to v16
+    vecs.append(v18)
+    vecs.append(vecs[1].copy())             # 19: duplicate of init 1
+    pq.write_table(pa.Table.from_pydict({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(vecs), dtype=np.int32)),
+    }), f"{tmp_path}/embeddings.parquet")
+
+    out = q_semantic_dedup(spark, str(tmp_path)).toPandas()
+    assert len(out) == 20
+    by_id = out.set_index("vec_id")
+    # direction-0 cluster: {0, 16, 17, 18} mutually cos > 0.8 -> one
+    # survivor only; the exact-duplicate pair can never both survive.
+    c0 = by_id.loc[0, "cluster"]
+    trio = by_id.loc[[0, 16, 17, 18]]
+    assert (trio.cluster == c0).all()
+    assert int(trio.kept.sum()) == 1
+    # duplicated initializer: same cluster, tie on centroid_sim broken
+    # by vec_id -> 1 kept, 19 dropped with max_prev_sim == 1.
+    assert by_id.loc[19, "cluster"] == by_id.loc[1, "cluster"]
+    assert bool(by_id.loc[1, "kept"]) and not bool(by_id.loc[19, "kept"])
+    assert by_id.loc[19, "max_prev_sim"] == 1.0
+    # orthogonal singletons untouched (cross-cluster cos = 0 anyway).
+    rest = by_id.loc[list(range(2, 16))]
+    assert rest.kept.all()
+    assert (rest.max_prev_sim == -1.0).all()
+
+
+def test_semantic_dedup_plan(spark):
+    """The pairwise stage stays cluster-confined and distributed: the
+    member self-join is an equi-join on the cluster key (never a
+    CartesianProduct over the corpus), its MAX collapses map-side
+    (partial_max), and everything stays in codegen (no
+    BatchEvalPython).  The only nested-loop joins are the kmeans
+    assignment's benign <= 16-row centroid broadcasts."""
+    from dragnet_spark.queries import q_semantic_dedup
+
+    df = q_semantic_dedup(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_max" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
+
+
+def test_bm25_topk_vs_duckdb(spark):
+    """Ninth EXTRA-lane operator (BM25): cell-exact vs the DuckDB
+    oracle (portable integer-ln idf, exact BIGINT tf/df/dl, fixed
+    summation order), scores non-negative and non-increasing down the
+    top-10."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_bm25_topk
+
+    got = q_bm25_topk(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["bm25_topk"]).df()
+    assert got.values.tolist() == exp.values.tolist()  # ordered relation
+    assert (got.score_bm25 >= 0).all()
+    assert (got.score_bm25.diff().dropna() <= 0).all()
+
+
+def test_bm25_topk_planted(spark, tmp_path):
+    """Pure-Python BM25 over a planted corpus must agree with the
+    operator to float tolerance, and the ranking semantics hold: a doc
+    matching more query terms outranks fewer terms; between two docs
+    with identical tf, the SHORTER doc scores higher (the length
+    normalization b = 0.75)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_bm25_topk
+
+    texts = {
+        0: "spark window merge agg",          # all 3 terms, short
+        1: "spark window table scan row key", # 2 terms
+        2: "spark " + "filler "*20 + "end",   # 1 term, long
+        3: "spark end",                       # 1 term, short
+        4: "table scan row",                  # 0 terms
+    }
+    rows = [(i, t, "en", "src0", len(t)) for i, t in texts.items()]
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {int(r.doc_id): r for r in
+           q_bm25_topk(spark, str(tmp_path)).collect()}
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def ref_score(i):
+        s = 0.0
+        for term in ("spark", "window", "merge"):
+            tf = toks[i].count(term)
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log((2 * n + 2) / (2 * df + 1))
+            dl = len(toks[i])
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return s
+
+    assert set(got) == set(texts)             # 5 docs -> all in top-10
+    for i in texts:
+        assert abs(got[i].score_bm25 - ref_score(i)) < 1e-6, i
+    assert got[0].score_bm25 > got[1].score_bm25 > got[2].score_bm25
+    assert got[3].score_bm25 > got[2].score_bm25   # same tf, shorter doc
+    assert got[4].score_bm25 == 0.0
+
+
+def test_bm25_topk_plan(spark):
+    """The top-10 is a TakeOrderedAndProject (map-side partial top-k,
+    no global sort); the corpus never shuffles (the only exchange is
+    the one-row stats aggregation, broadcast back); no Python
+    anywhere."""
+    from dragnet_spark.queries import q_bm25_topk
+
+    df = q_bm25_topk(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
