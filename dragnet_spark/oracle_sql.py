@@ -1461,3 +1461,38 @@ LIMIT 10
 
 
 EXTRA_ORACLE_SQL["bm25_topk"] = _bm25_sql()
+
+
+# Duplicated-substring fraction (EXTRA lane, Lee et al. 2022
+# ExactSubstr criterion): overlapping 5-token windows fingerprinted,
+# duplicated iff the fingerprint occurs > 1x corpus-wide; per-doc
+# fraction is one exact-operand double division; the 0.3 flag is the
+# exact integer comparison 10*n_dup >= 3*n_windows.
+EXTRA_ORACLE_SQL["dedup_substrings"] = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), wins AS (
+  SELECT b.doc_id,
+         md5(array_to_string(b.ts[g.g:g.g + 4], ' ')) AS fp
+  FROM base b, UNNEST(generate_series(1, b.n - 4)) AS g(g)
+), cnt AS (
+  SELECT fp, COUNT(*) AS c FROM wins GROUP BY fp
+), per AS (
+  SELECT w.doc_id, COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup
+  FROM wins w JOIN cnt c USING (fp)
+  GROUP BY w.doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
+       CASE WHEN COALESCE(per.n_windows, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(per.n_dup AS DOUBLE)
+                       / CAST(per.n_windows AS DOUBLE), 6) END AS dup_frac,
+       (COALESCE(per.n_dup, 0) * 10 >= COALESCE(per.n_windows, 0) * 3
+        AND COALESCE(per.n_windows, 0) > 0) AS flagged
+FROM base b LEFT JOIN per USING (doc_id)
+"""

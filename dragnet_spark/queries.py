@@ -2299,6 +2299,65 @@ def q_domain_reweight(spark, sf_dir):
                             6).alias("weight")))
 
 
+# Overlapping-window substring-dedup window length (tokens).  Lee et
+# al. use 50-token windows on BPE streams; 5 fits the toy corpus's
+# 1-120-word documents while exercising the identical plan shape.
+_SUB_W = 5
+
+
+def q_dedup_substrings(spark, sf_dir):
+    """Duplicated-substring fraction (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better' — the ExactSubstr
+    criterion): every OVERLAPPING _SUB_W-token window is fingerprinted,
+    a window is duplicated iff its fingerprint occurs more than once in
+    the corpus (across documents or repeated within one), and each
+    document reports its duplicated-window fraction — the signal the
+    paper cuts on.  Output: (doc_id, n_windows, n_dup, dup_frac,
+    flagged), flagged iff dup_frac >= 0.3 (evaluated as the exact
+    integer comparison 10*n_dup >= 3*n_windows) with docs shorter than
+    the window never flagged.  Distinct from dedup_segments: that pass
+    dedups fixed NON-overlapping segments first-occurrence-wins; this
+    one measures how much of a document is duplicated text at every
+    alignment, the paper's substring-level criterion.
+
+    Determinism: counts are exact BIGINTs; dup_frac is one double
+    division of exact operands, then round(6).
+
+    Scale shape: the paper's suffix array is inherently sequential —
+    the distributed re-expression is fingerprint-partitioned: ONE
+    exploded-window scan (bounded fan-out: n-W+1 windows/doc) shuffles
+    on the fingerprint for the global count, the count joins back on
+    the same key (exchange reuse — the window relation shuffles once),
+    and the per-doc rollup rides the doc_id key.  Giant documents fan
+    out across the fingerprint space instead of hot-spotting — the
+    dedup_segments/contamination shape exactly.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    base = d.select("doc_id", ts.alias("ts"), F.size(ts).alias("n"))
+    wins = (base.where(F.col("n") >= _SUB_W)
+            .select("doc_id", F.explode(F.transform(
+                F.sequence(F.lit(1), F.col("n") - F.lit(_SUB_W - 1)),
+                lambda i: F.md5(F.concat_ws(
+                    " ", F.slice(F.col("ts"), i, _SUB_W))))).alias("fp")))
+    cnt = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    per = (wins.join(cnt, "fp")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_windows"),
+                F.sum((F.col("c") > 1).cast("bigint")).alias("n_dup")))
+    nw = F.coalesce(F.col("n_windows"), F.lit(0)).cast("bigint")
+    nd = F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
+    frac = F.when(nw == 0, F.lit(0.0)).otherwise(
+        F.round(nd.cast("double") / nw.cast("double"), 6))
+    return (base.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id", nw.alias("n_windows"), nd.alias("n_dup"),
+                    frac.alias("dup_frac"),
+                    ((nd * 10 >= nw * 3) & (nw > 0)).alias("flagged")))
+
+
 # BM25 constants (Robertson & Zaragoza 2009 defaults) and the fixed
 # keyword query.  The idf is Lucene's non-negative variant
 # ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)) — a ratio of
@@ -2524,4 +2583,5 @@ EXTRA_QUERIES = {
     "domain_reweight": q_domain_reweight,
     "semantic_dedup": q_semantic_dedup,
     "bm25_topk": q_bm25_topk,
+    "dedup_substrings": q_dedup_substrings,
 }

@@ -208,6 +208,14 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "bm25_topk": ([r"TakeOrderedAndProject", r"partial_count"],
                   [r"SortMergeJoin", r"CartesianProduct",
                    r"BatchEvalPython", r"LocalTableScan"]),
+    # ExactSubstr duplicated-window fraction (EXTRA_QUERIES): one
+    # exploded-window scan shuffles on the fingerprint (map-side
+    # partial count), the count joins back on the same key, the
+    # per-doc rollup rides doc_id — giant docs fan out across the
+    # fingerprint space instead of hot-spotting.
+    "dedup_substrings": ([r"partial_count"],
+                         [r"CartesianProduct", r"BatchEvalPython",
+                          r"LocalTableScan"]),
 }
 
 

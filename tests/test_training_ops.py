@@ -1918,3 +1918,84 @@ def test_bm25_topk_plan(spark):
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_dedup_substrings_vs_duckdb(spark):
+    """Tenth EXTRA-lane operator (Lee et al. ExactSubstr fraction):
+    cell-exact vs the DuckDB oracle; every doc appears exactly once
+    (docs shorter than the window included with zero windows) and
+    flagged implies dup_frac >= 0.3."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_dedup_substrings
+
+    got = q_dedup_substrings(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["dedup_substrings"]).df()
+    _canon_frames(got, exp)
+    assert got.doc_id.is_unique
+    assert (got[got.flagged].dup_frac >= 0.3).all()
+    assert (got[got.n_windows == 0].dup_frac == 0.0).all()
+    assert not got[got.n_windows == 0].flagged.any()
+
+
+def test_dedup_substrings_planted(spark, tmp_path):
+    """Planted corpus pins the criterion at every alignment: an exact
+    duplicate pair is 100% duplicated; a doc sharing ONE 5-token
+    window with them is 50% duplicated (flagged at the 0.3 bar); a
+    WITHIN-document repeat duplicates a window with no cross-doc
+    partner (2/6 windows = 1/3 >= 0.3, flagged via the exact integer
+    rule 10*2 >= 3*6 — within-doc repetition counts, the paper's
+    self-similarity case); short and unique docs report zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_dedup_substrings
+
+    texts = {
+        0: "a b c d e f",                  # 2 windows, dup of doc 1
+        1: "a b c d e f",                  # exact duplicate
+        2: "a b c d e zzz",                # shares window "a b c d e"
+        3: "q w e r",                      # too short: 0 windows
+        4: "x y z w v x y z w v",          # self-repeat: win1 == win6
+        5: "p1 p2 p3 p4 p5 p6 p7",         # unique
+    }
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    out = {int(r.doc_id): r for r in
+           q_dedup_substrings(spark, str(tmp_path)).collect()}
+    assert len(out) == 6
+    for i in (0, 1):
+        assert (out[i].n_windows, out[i].n_dup) == (2, 2)
+        assert out[i].dup_frac == 1.0 and out[i].flagged
+    assert (out[2].n_windows, out[2].n_dup) == (2, 1)
+    assert out[2].dup_frac == 0.5 and out[2].flagged
+    assert (out[3].n_windows, out[3].n_dup) == (0, 0)
+    assert out[3].dup_frac == 0.0 and not out[3].flagged
+    assert (out[4].n_windows, out[4].n_dup) == (6, 2)
+    assert out[4].dup_frac == 0.333333 and out[4].flagged
+    assert (out[5].n_windows, out[5].n_dup) == (3, 0)
+    assert out[5].dup_frac == 0.0 and not out[5].flagged
+
+
+def test_dedup_substrings_plan(spark):
+    """Fingerprint-partitioned all the way: the exploded-window scan
+    feeds a map-side partial count, the join back is on the same key,
+    and nothing leaves codegen."""
+    from dragnet_spark.queries import q_dedup_substrings
+
+    df = q_dedup_substrings(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
