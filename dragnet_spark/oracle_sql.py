@@ -1496,3 +1496,44 @@ SELECT b.doc_id,
         AND COALESCE(per.n_windows, 0) > 0) AS flagged
 FROM base b LEFT JOIN per USING (doc_id)
 """
+
+
+# Interleaved image-text curation (EXTRA lane, OBELICS/MMC4 filters):
+# the synthetic media stream is the shared md5 PRF — a media element
+# follows token p iff md5('doc_id:p') starts with '0'; all signals
+# are exact integers, the cascade mirrors queries.q_interleaved_filter.
+_MEDIA_SQL = ("substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+              "|| CAST({p} AS VARCHAR)), 1, 1) = '0'")
+
+EXTRA_ORACLE_SQL["interleaved_filter"] = """
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+), m AS (
+  SELECT doc_id, n,
+         len(list_filter(generate_series(1, n),
+             p -> {med_p})) AS n_media,
+         CASE WHEN n >= 2 THEN
+           len(list_filter(generate_series(1, n - 1),
+               p -> {med_p} AND {med_p1}))
+         ELSE 0 END AS n_adj
+  FROM base
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_media AS BIGINT) AS n_media,
+       CAST(n_adj AS BIGINT) AS n_adjacent,
+       CASE WHEN n_media = 0 THEN -1.0
+            ELSE ROUND(CAST(n AS DOUBLE) / CAST(n_media AS DOUBLE), 6)
+       END AS tok_per_media,
+       CASE WHEN n < 5 THEN 'no_text'
+            WHEN n_media = 0 THEN 'no_media'
+            WHEN 4 * n_media > n THEN 'media_dense'
+            WHEN n_adj > 0 THEN 'media_adjacent'
+            ELSE 'keep' END AS reason,
+       (CASE WHEN n < 5 THEN 'no_text'
+             WHEN n_media = 0 THEN 'no_media'
+             WHEN 4 * n_media > n THEN 'media_dense'
+             WHEN n_adj > 0 THEN 'media_adjacent'
+             ELSE 'keep' END) = 'keep' AS kept
+FROM m
+""".format(med_p=_MEDIA_SQL.format(p="p"),
+           med_p1=_MEDIA_SQL.format(p="(p + 1)"))

@@ -2299,6 +2299,78 @@ def q_domain_reweight(spark, sf_dir):
                             6).alias("weight")))
 
 
+def _media_after(p):
+    """Deterministic synthetic media slot: a media element follows
+    token position p of doc_id iff the first hex digit of
+    md5('doc_id:p') is '0' (~1/16 of positions).  md5 is the one
+    corpus-independent PRF both engines share bit-for-bit; an
+    arithmetic mod rule would place media at a FIXED residue (gap
+    exactly m apart — no adjacency to filter on)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                          p.cast("string"))), 1, 1) == "0"
+
+
+def q_interleaved_filter(spark, sf_dir):
+    """Interleaved image-text document curation (the OBELICS
+    [Laurencon et al. 2023] / MMC4 [Zhu et al. 2023] filters): for
+    documents carrying an interleaved media stream, compute the
+    media-side quality signals — media count, media density, adjacent
+    media runs, tokens-per-media — and one keep/drop decision with the
+    first failing rule as the reason (the curate_decisions cascade
+    pattern): no_text (< 5 tokens) > no_media (interleaved training
+    needs >= 1 image) > media_dense (over 1 media per 4 tokens — the
+    image-stuffed-gallery shape MMC4 drops) > media_adjacent (images
+    with no text between them — OBELICS collapses/drops these) > keep.
+    Output: (doc_id, n_tokens, n_media, n_adjacent, tok_per_media
+    [-1 when no media], kept, reason).
+
+    The documents table carries no media column, so the media stream
+    is synthesized deterministically per (doc_id, position) via
+    _media_after — the same interleaving contract the flagship span
+    pipeline materializes for real (pipeline.py threads media_refs
+    through the block walk in document order); this operator is the
+    curation pass that would sit in front of it.
+
+    Determinism: every signal is an exact integer off the md5 PRF;
+    tok_per_media is one double division of exact BIGINTs, round(6).
+
+    Scale shape: ZERO shuffles — one narrow per-row scan-project
+    (positions are a bounded per-doc sequence expression, the hash
+    work is O(tokens) exactly like every tokenizing operator here);
+    at 10^12 docs this is the embarrassingly-parallel shape.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    base = d.select("doc_id", n.alias("n"))
+    n_media = F.size(F.filter(F.sequence(F.lit(1), F.col("n")),
+                              _media_after))
+    # sequence(1, 0) runs DESCENDING in Spark — guard the n == 1 case.
+    n_adj = F.when(F.col("n") >= 2, F.size(F.filter(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda p: _media_after(p) & _media_after(p + F.lit(1))))) \
+        .otherwise(F.lit(0))
+    m = base.select("doc_id", "n", n_media.alias("n_media"),
+                    n_adj.alias("n_adj"))
+    reason = (F.when(F.col("n") < 5, "no_text")
+              .when(F.col("n_media") == 0, "no_media")
+              .when(4 * F.col("n_media") > F.col("n"), "media_dense")
+              .when(F.col("n_adj") > 0, "media_adjacent")
+              .otherwise("keep"))
+    tpm = F.when(F.col("n_media") == 0, F.lit(-1.0)).otherwise(
+        F.round(F.col("n").cast("double")
+                / F.col("n_media").cast("double"), 6))
+    return m.select(
+        "doc_id", F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("n_media").cast("bigint").alias("n_media"),
+        F.col("n_adj").cast("bigint").alias("n_adjacent"),
+        tpm.alias("tok_per_media"), reason.alias("reason"),
+        (reason == "keep").alias("kept"))
+
+
 # Overlapping-window substring-dedup window length (tokens).  Lee et
 # al. use 50-token windows on BPE streams; 5 fits the toy corpus's
 # 1-120-word documents while exercising the identical plan shape.
@@ -2584,4 +2656,5 @@ EXTRA_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "bm25_topk": q_bm25_topk,
     "dedup_substrings": q_dedup_substrings,
+    "interleaved_filter": q_interleaved_filter,
 }

@@ -216,6 +216,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dedup_substrings": ([r"partial_count"],
                          [r"CartesianProduct", r"BatchEvalPython",
                           r"LocalTableScan"]),
+    # Interleaved media-text curation (EXTRA_QUERIES): embarrassingly
+    # parallel — ZERO shuffles/joins, one narrow scan-project.
+    "interleaved_filter": ([], [r"Exchange", r"Join",
+                                r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

@@ -1999,3 +1999,98 @@ def test_dedup_substrings_plan(spark):
     assert "partial_count" in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_interleaved_filter_vs_duckdb(spark):
+    """Eleventh EXTRA-lane operator (interleaved curation): cell-exact
+    vs the DuckDB oracle; kept iff reason == 'keep', and the cascade
+    invariants hold on every row."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_interleaved_filter
+
+    got = q_interleaved_filter(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["interleaved_filter"]).df()
+    _canon_frames(got, exp)
+    assert (got.kept == (got.reason == "keep")).all()
+    assert (got[got.reason == "no_media"].n_media == 0).all()
+    assert (got[got.reason == "media_adjacent"].n_adjacent > 0).all()
+    assert (got[got.kept].n_tokens >= 5).all()
+
+
+def test_interleaved_filter_planted(spark, tmp_path):
+    """A pure-Python md5 walk over a 120-doc sweep of lengths 1..40
+    must reproduce every count and every cascade reason; the sweep is
+    wide enough that no_text, no_media, media_adjacent and keep all
+    occur (media_dense asserted separately with a hand-found dense
+    doc)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_interleaved_filter
+
+    def med(doc_id, p):
+        h = hashlib.md5(f"{doc_id}:{p}".encode()).hexdigest()
+        return h[0] == "0"
+
+    n_docs = 120
+    lens = [(i % 40) + 1 for i in range(n_docs)]
+    # doc_id 123 at 6 tokens has 2 media slots (md5-checked):
+    # 4*2 > 6 -> the media_dense rule fires.
+    ids = list(range(n_docs)) + [123]
+    lens.append(6)
+    texts = [" ".join(f"w{j}" for j in range(L)) for L in lens]
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["src0"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {int(r.doc_id): r for r in
+           q_interleaved_filter(spark, str(tmp_path)).collect()}
+    seen = set()
+    for i, n in zip(ids, lens):
+        n_media = sum(med(i, p) for p in range(1, n + 1))
+        n_adj = sum(med(i, p) and med(i, p + 1) for p in range(1, n))
+        if n < 5:
+            reason = "no_text"
+        elif n_media == 0:
+            reason = "no_media"
+        elif 4 * n_media > n:
+            reason = "media_dense"
+        elif n_adj > 0:
+            reason = "media_adjacent"
+        else:
+            reason = "keep"
+        r = got[i]
+        assert (r.n_tokens, r.n_media, r.n_adjacent, r.reason) == \
+            (n, n_media, n_adj, reason), i
+        if n_media:
+            assert abs(r.tok_per_media - round(n / n_media, 6)) < 1e-9
+        else:
+            assert r.tok_per_media == -1.0
+        seen.add(reason)
+    assert {"no_text", "no_media", "media_dense",
+            "media_adjacent", "keep"} <= seen
+    assert got[123].reason == "media_dense"
+
+
+def test_interleaved_filter_plan(spark):
+    """Embarrassingly parallel: ZERO shuffles, zero joins — one
+    narrow per-row scan-project, nothing leaves codegen."""
+    from dragnet_spark.queries import q_interleaved_filter
+
+    df = q_interleaved_filter(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "Join" not in final
+    assert "BatchEvalPython" not in final
