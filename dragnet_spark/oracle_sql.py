@@ -1537,3 +1537,61 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
 FROM m
 """.format(med_p=_MEDIA_SQL.format(p="p"),
            med_p1=_MEDIA_SQL.format(p="(p + 1)"))
+
+
+# Multimodal sequence packing (EXTRA lane): the per-doc greedy walk is
+# a RECURSIVE CTE over span index (the padding rule is nonlinear in
+# position — no closed-form prefix sum), spans built with the same
+# list ops and md5 PRF as the Spark side; all-integer, cell equality
+# exact.
+EXTRA_ORACLE_SQL["interleaved_pack"] = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+), mbt AS (
+  SELECT doc_id, n,
+         list_filter(generate_series(1, n), p -> {med}) AS mb
+  FROM base
+), spans0 AS (
+  SELECT doc_id,
+         flatten(list_transform(range(len(mb)), i -> [
+           {{'kind': 'text',
+             'len': mb[i + 1] - CASE WHEN i = 0 THEN 0 ELSE mb[i] END,
+             'ref': CAST(NULL AS VARCHAR)}},
+           {{'kind': 'media', 'len': 16,
+             'ref': 'img://' || CAST(doc_id AS VARCHAR) || '/'
+                    || CAST(mb[i + 1] AS VARCHAR)}}
+         ]))
+         || [{{'kind': 'text',
+               'len': n - CASE WHEN len(mb) = 0 THEN 0
+                          ELSE mb[len(mb)] END,
+               'ref': CAST(NULL AS VARCHAR)}}] AS sp
+  FROM mbt
+), spansf AS (
+  SELECT doc_id,
+         list_filter(sp, s -> NOT (s.kind = 'text' AND s.len = 0)) AS sp
+  FROM spans0
+), spans AS (
+  SELECT f.doc_id, CAST(g.g AS BIGINT) AS seq,
+         f.sp[g.g].kind AS kind, CAST(f.sp[g.g].len AS BIGINT) AS len,
+         f.sp[g.g].ref AS ref
+  FROM spansf f, UNNEST(generate_series(1, len(f.sp))) AS g(g)
+), walk AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS pos_after
+  FROM spansf
+  UNION ALL
+  SELECT s.doc_id, s.seq,
+         CASE WHEN s.kind = 'media' AND (w.pos_after % 64) + s.len > 64
+              THEN w.pos_after + (64 - (w.pos_after % 64)) + s.len
+              ELSE w.pos_after + s.len END
+  FROM walk w JOIN spans s
+    ON s.doc_id = w.doc_id AND s.seq = w.seq + 1
+)
+SELECT s.doc_id, s.seq, s.kind, s.len AS span_len, s.ref AS media_ref,
+       CAST(w.pos_after - s.len - wp.pos_after AS BIGINT) AS pad_before,
+       CAST(w.pos_after - s.len AS BIGINT) AS start_pos,
+       CAST((w.pos_after - s.len) // 64 AS BIGINT) AS ctx_id,
+       CAST((w.pos_after - s.len) % 64 AS BIGINT) AS ctx_offset
+FROM spans s
+JOIN walk w  ON w.doc_id = s.doc_id AND w.seq = s.seq
+JOIN walk wp ON wp.doc_id = s.doc_id AND wp.seq = s.seq - 1
+""".format(med=_MEDIA_SQL.format(p="p"))

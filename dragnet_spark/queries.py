@@ -2371,6 +2371,110 @@ def q_interleaved_filter(spark, sf_dir):
         (reason == "keep").alias("kept"))
 
 
+# Multimodal packing geometry: context capacity and the fixed token
+# cost of one media element (the vision-encoder patch budget).
+_PACK_C = 64
+_PACK_MCOST = 16
+
+
+def q_interleaved_pack(spark, sf_dir):
+    """Multimodal sequence packing over the interleaved text+media
+    stream — the sample-assembly stage of interleaved training
+    pipelines (Flamingo/OBELICS-style): each document's ordered spans
+    (maximal text runs between media slots, media elements at a fixed
+    _PACK_MCOST-token cost) are packed greedily into _PACK_C-token
+    contexts where TEXT spans split freely across context boundaries
+    but MEDIA spans are ATOMIC — a media element that would straddle a
+    boundary pads the current context and starts in the next (an image
+    cannot be half-fed to the vision encoder).  The media stream is
+    the shared deterministic _media_after PRF (see
+    q_interleaved_filter).  Output: one row per span — (doc_id, seq,
+    kind, span_len, media_ref, pad_before, start_pos, ctx_id,
+    ctx_offset), positions in the document's packed token stream.
+
+    Determinism: all integers off the md5 PRF; no floats anywhere.
+
+    Scale shape: packing is per-document sequential BY DEFINITION
+    (each span's placement depends on the fill state before it), so
+    it runs as a bounded per-doc JVM fold — O(spans) per document, no
+    shuffle, no UDF; documents pack independently (embarrassingly
+    parallel across the corpus), and the giant-doc escape hatch is
+    the same chunked/halo path the flagship uses (sequence_pack's
+    two-level scan does not apply: the padding rule is nonlinear in
+    position, there is no closed-form prefix-sum).  The fold
+    accumulates a plain BIGINT array of positions-after (sentinel 0),
+    so each step's expression references only O(1) array-tail
+    accesses of the lambda accumulator — the run-once fold rule
+    quality_repetition documents; start/pad/ctx derive POST-explode
+    from the emitted positions via layered selects, never by
+    re-referencing the fold Column.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked (recursive-CTE DuckDB walk) via
+    EXTRA_ORACLE_SQL + the random-corpus fuzz."""
+    C = F.lit(_PACK_C).cast("bigint")
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    base = d.select(
+        "doc_id", n.alias("n"),
+        F.filter(F.sequence(F.lit(1), n), _media_after).alias("mb"))
+
+    def _prev(i):
+        # element_at is 1-based, i is the 0-based transform index, so
+        # element_at(mb, i) IS the previous media position.
+        return F.when(i == 0, F.lit(0)).otherwise(
+            F.element_at(F.col("mb"), i)).cast("bigint")
+
+    pairs = F.flatten(F.transform(
+        F.col("mb"),
+        lambda p, i: F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     (p - _prev(i)).cast("bigint").alias("len"),
+                     F.lit(None).cast("string").alias("ref")),
+            F.struct(F.lit("media").alias("kind"),
+                     F.lit(_PACK_MCOST).cast("bigint").alias("len"),
+                     F.concat(F.lit("img://"),
+                              F.col("doc_id").cast("string"),
+                              F.lit("/"), p.cast("string"))
+                     .alias("ref")))))
+    tail = F.when(F.size(F.col("mb")) == 0, F.col("n")).otherwise(
+        F.col("n") - F.element_at(F.col("mb"), F.size(F.col("mb"))))
+    spans = F.filter(
+        F.concat(pairs, F.array(F.struct(
+            F.lit("text").alias("kind"),
+            tail.cast("bigint").alias("len"),
+            F.lit(None).cast("string").alias("ref")))),
+        lambda s: ~((s.kind == "text") & (s.len == 0)))
+    sp = base.select("doc_id", spans.alias("sp"))
+    folded = F.aggregate(
+        F.col("sp"), F.array(F.lit(0).cast("bigint")),
+        lambda acc, s: F.concat(acc, F.array(
+            F.when((s.kind == "media")
+                   & (F.element_at(acc, -1) % C + s.len > C),
+                   F.element_at(acc, -1)
+                   + (C - F.element_at(acc, -1) % C) + s.len)
+            .otherwise(F.element_at(acc, -1) + s.len))),
+        lambda acc: F.slice(acc, 2, F.size(acc) - 1))
+    w = sp.select("doc_id", "sp", folded.alias("pa"))
+    ex = w.select("doc_id", "pa",
+                  F.posexplode(F.arrays_zip("sp", "pa")).alias("i", "z"))
+    s1 = ex.select(
+        "doc_id", (F.col("i") + 1).cast("bigint").alias("seq"),
+        F.col("z.sp.kind").alias("kind"),
+        F.col("z.sp.len").alias("span_len"),
+        F.col("z.sp.ref").alias("media_ref"),
+        (F.col("z.pa") - F.col("z.sp.len")).alias("start_pos"),
+        F.when(F.col("i") == 0, F.lit(0).cast("bigint"))
+         .otherwise(F.element_at(F.col("pa"), F.col("i")))
+         .alias("prev_after"))
+    return s1.select(
+        "doc_id", "seq", "kind", "span_len", "media_ref",
+        (F.col("start_pos") - F.col("prev_after")).alias("pad_before"),
+        "start_pos",
+        F.floor(F.col("start_pos") / C).cast("bigint").alias("ctx_id"),
+        (F.col("start_pos") % C).alias("ctx_offset"))
+
+
 # Overlapping-window substring-dedup window length (tokens).  Lee et
 # al. use 50-token windows on BPE streams; 5 fits the toy corpus's
 # 1-120-word documents while exercising the identical plan shape.
@@ -2657,4 +2761,5 @@ EXTRA_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "dedup_substrings": q_dedup_substrings,
     "interleaved_filter": q_interleaved_filter,
+    "interleaved_pack": q_interleaved_pack,
 }

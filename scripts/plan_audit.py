@@ -220,6 +220,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # parallel — ZERO shuffles/joins, one narrow scan-project.
     "interleaved_filter": ([], [r"Exchange", r"Join",
                                 r"BatchEvalPython", r"LocalTableScan"]),
+    # Multimodal packing (EXTRA_QUERIES): the greedy walk is a bounded
+    # per-doc JVM fold — zero shuffles/joins, docs pack independently.
+    "interleaved_pack": ([], [r"Exchange", r"Join",
+                              r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

@@ -2094,3 +2094,102 @@ def test_interleaved_filter_plan(spark):
     assert "Exchange" not in final
     assert "Join" not in final
     assert "BatchEvalPython" not in final
+
+
+def _pack_ref(doc_id, n, C=64, mcost=16):
+    """Pure-Python reference packing for q_interleaved_pack."""
+    import hashlib
+
+    def med(p):
+        return hashlib.md5(
+            f"{doc_id}:{p}".encode()).hexdigest()[0] == "0"
+
+    mb = [p for p in range(1, n + 1) if med(p)]
+    spans, prev = [], 0
+    for p in mb:
+        if p - prev > 0:
+            spans.append(("text", p - prev, None))
+        spans.append(("media", mcost, f"img://{doc_id}/{p}"))
+        prev = p
+    if n - prev > 0:
+        spans.append(("text", n - prev, None))
+    rows, pos = [], 0
+    for seq, (kind, ln, ref) in enumerate(spans, 1):
+        pad = 0
+        if kind == "media" and pos % C + ln > C:
+            pad = C - pos % C
+        start = pos + pad
+        rows.append((doc_id, seq, kind, ln, ref, pad, start,
+                     start // C, start % C))
+        pos = start + ln
+    return rows
+
+
+def test_interleaved_pack_vs_duckdb(spark):
+    """Twelfth EXTRA-lane operator (multimodal packing): cell-exact vs
+    the recursive-CTE DuckDB walk, and the packing invariants hold on
+    every row: padding only ever precedes a media span, media spans
+    never straddle a context boundary, and each span starts exactly
+    where the previous one ended plus its padding."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_interleaved_pack
+
+    got = q_interleaved_pack(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["interleaved_pack"]).df()
+    _canon_frames(got, exp)
+    assert (got[got.kind == "text"].pad_before == 0).all()
+    media = got[got.kind == "media"]
+    assert (media.ctx_offset + 16 <= 64).all()
+    assert media.media_ref.notna().all()
+    g = got.sort_values(["doc_id", "seq"])
+    prev_end = (g.start_pos + g.span_len).shift()
+    same_doc = g.doc_id.eq(g.doc_id.shift())
+    assert (g.start_pos[same_doc]
+            == (prev_end + g.pad_before)[same_doc]).all()
+    assert (g.start_pos[~same_doc] == 0).all()
+
+
+def test_interleaved_pack_planted(spark, tmp_path):
+    """A pure-Python replica of the greedy walk must reproduce every
+    row over a 60-doc sweep, and the sweep must actually exercise a
+    non-trivial pad (a media span pushed to the next context)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_interleaved_pack
+
+    n_docs, L = 60, 100
+    texts = [" ".join(f"w{j}" for j in range(L))] * n_docs
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n_docs, pa.string()),
+        "source": pa.array(["src0"] * n_docs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = sorted(
+        (tuple(r) for r in
+         q_interleaved_pack(spark, str(tmp_path)).collect()))
+    ref = sorted(r for i in range(n_docs) for r in _pack_ref(i, L))
+    assert got == [tuple(r) for r in ref]
+    assert any(r[5] > 0 for r in ref)       # a pad fired somewhere
+
+
+def test_interleaved_pack_plan(spark):
+    """Packing is per-document and embarrassingly parallel across the
+    corpus: ZERO shuffles, zero joins, everything in one
+    scan-project fold."""
+    from dragnet_spark.queries import q_interleaved_pack
+
+    df = q_interleaved_pack(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "Join" not in final
+    assert "BatchEvalPython" not in final
