@@ -1595,3 +1595,24 @@ FROM spans s
 JOIN walk w  ON w.doc_id = s.doc_id AND w.seq = s.seq
 JOIN walk wp ON wp.doc_id = s.doc_id AND wp.seq = s.seq - 1
 """.format(med=_MEDIA_SQL.format(p="p"))
+
+
+# Hashed linear quality classifier (EXTRA lane): fastText-style
+# scoring — 101 md5-derived pseudo-weights, position-ordered
+# list_sum fold, portable sigmoid via _exp_sql; label decided on the
+# RAW logit so no float threshold exists.
+EXTRA_ORACLE_SQL["quality_classifier"] = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), zc AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         (-0.05 + list_sum(list_transform(ts,
+             t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 101
+                       AS DOUBLE) / 101.0 - 0.5))) AS z
+  FROM tok
+)
+SELECT doc_id, n_tokens, ROUND(z, 6) AS logit,
+       ROUND(1.0 / (1.0 + {_exp_sql('(-z)')}), 6) AS score,
+       CASE WHEN z >= 0 THEN 'content' ELSE 'boilerplate' END AS label
+FROM zc
+"""

@@ -2371,6 +2371,55 @@ def q_interleaved_filter(spark, sf_dir):
         (reason == "keep").alias("kept"))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Linear content-vs-boilerplate classifier scoring — the
+    classifier stage of the reference architecture (a pretrained
+    model scoring each unit, here fastText-style [Joulin et al. 2017]
+    hashed bag-of-words; GPT-3/CCNet run exactly this shape as their
+    corpus quality filter).  Each token hashes to one of 101 fixed
+    pseudo-weights in [-0.5, 0.5) (md5-derived — a deterministic
+    stand-in for trained coefficients: the operator under test is the
+    scoring plumbing, not the fit), the document logit is intercept +
+    the position-ordered weight sum, and the score is a portable
+    sigmoid.  Output: (doc_id, n_tokens, logit, score, label) with
+    label = 'content' iff the RAW logit >= 0 (no float-threshold
+    ambiguity).
+
+    Determinism: the weight sum folds in position order (the
+    ann_cosine sequential-accumulation pattern — list_sum's order on
+    the DuckDB side); weights are single divisions of exact integers
+    (101 odd, so no weight is ever an exact +-0.0 to trip the
+    zero-sign convention); sigmoid = 1/(1 + exp_portable(-z)) — the
+    same fixed-order IEEE expression on both engines.
+
+    Scale shape: ZERO shuffles — per-row array hash + fold, O(tokens)
+    per doc like every tokenizing operator here; a real trained
+    weight vector arrives as a broadcast map without changing the
+    plan (the fastText production deployment shape).
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+
+    def w(tok):
+        return (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10)
+                .cast("bigint") % 101).cast("double") / 101.0 - 0.5
+
+    z = F.lit(-0.05) + F.aggregate(
+        F.transform(ts, w), F.lit(0.0),
+        lambda acc, x: acc + x)
+    s1 = d.select("doc_id", F.size(ts).cast("bigint").alias("n_tokens"),
+                  z.alias("z"))
+    score = F.lit(1.0) / (F.lit(1.0) + exp_portable(-F.col("z")))
+    return s1.select(
+        "doc_id", "n_tokens", F.round(F.col("z"), 6).alias("logit"),
+        F.round(score, 6).alias("score"),
+        F.when(F.col("z") >= 0, "content").otherwise("boilerplate")
+         .alias("label"))
+
+
 # Multimodal packing geometry: context capacity and the fixed token
 # cost of one media element (the vision-encoder patch budget).
 _PACK_C = 64
@@ -2762,4 +2811,5 @@ EXTRA_QUERIES = {
     "dedup_substrings": q_dedup_substrings,
     "interleaved_filter": q_interleaved_filter,
     "interleaved_pack": q_interleaved_pack,
+    "quality_classifier": q_quality_classifier,
 }

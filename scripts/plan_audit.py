@@ -224,6 +224,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # per-doc JVM fold — zero shuffles/joins, docs pack independently.
     "interleaved_pack": ([], [r"Exchange", r"Join",
                               r"BatchEvalPython", r"LocalTableScan"]),
+    # Hashed linear classifier (EXTRA_QUERIES): per-row hash + fold,
+    # zero shuffles/joins — the fastText-scoring production shape.
+    "quality_classifier": ([], [r"Exchange", r"Join",
+                                r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

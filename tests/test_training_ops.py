@@ -2193,3 +2193,75 @@ def test_interleaved_pack_plan(spark):
     assert "Exchange" not in final
     assert "Join" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_quality_classifier_vs_duckdb(spark):
+    """Thirteenth EXTRA-lane operator (hashed linear classifier):
+    cell-exact vs the DuckDB oracle; scores are valid probabilities
+    and the label matches the logit sign wherever the rounded logit
+    is unambiguous."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_quality_classifier
+
+    got = q_quality_classifier(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["quality_classifier"]).df()
+    _canon_frames(got, exp)
+    assert ((got.score > 0) & (got.score < 1)).all()
+    clear = got[got.logit.abs() > 1e-5]
+    assert (clear.label.eq("content") == (clear.logit > 0)).all()
+    assert set(got.label) == {"content", "boilerplate"}
+
+
+def test_quality_classifier_planted(spark, tmp_path):
+    """A pure-Python replica (hashlib weights + math.exp sigmoid) must
+    reproduce logit and score to rounding tolerance on hand-built
+    docs, and the linearity holds: appending one fixed token shifts
+    the logit by exactly that token's weight."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_quality_classifier
+
+    def w(tok):
+        return (int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                % 101) / 101.0 - 0.5
+
+    texts = {0: "spark table merge", 1: "spark table merge filler",
+             2: "a", 3: "the the the the the the"}
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["src0"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {int(r.doc_id): r for r in
+           q_quality_classifier(spark, str(tmp_path)).collect()}
+    for i, t in texts.items():
+        z = -0.05 + sum(w(tok) for tok in t.split(" "))
+        assert abs(got[i].logit - z) < 2e-6, i
+        assert abs(got[i].score - 1 / (1 + math.exp(-z))) < 2e-6, i
+        assert got[i].label == ("content" if z >= 0 else "boilerplate")
+    assert abs((got[1].logit - got[0].logit) - w("filler")) < 2e-6
+    assert abs(got[3].logit - (-0.05 + 6 * w("the"))) < 2e-6
+
+
+def test_quality_classifier_plan(spark):
+    """Zero shuffles, zero joins — per-row hash + fold, all codegen."""
+    from dragnet_spark.queries import q_quality_classifier
+
+    df = q_quality_classifier(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "Join" not in final
+    assert "BatchEvalPython" not in final
