@@ -1616,3 +1616,36 @@ SELECT doc_id, n_tokens, ROUND(z, 6) AS logit,
        CASE WHEN z >= 0 THEN 'content' ELSE 'boilerplate' END AS label
 FROM zc
 """
+
+
+# Token Shannon entropy (EXTRA lane): token counts grouped per doc,
+# c*ln(c) summed in token-sorted order (list(... ORDER BY w) — the
+# same order as Spark's sorted-array run-length fold), every ln
+# portable; H = ln(n) - s/n, normalized by ln(n) for n >= 2.
+EXTRA_ORACLE_SQL["quality_entropy"] = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), cnt AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(ts) AS w FROM tok)
+  GROUP BY doc_id, w
+), s AS (
+  SELECT doc_id,
+         list_sum(list(CAST(c AS DOUBLE) * {_ln_int_sql('c')}
+                       ORDER BY w)) AS s,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM cnt GROUP BY doc_id
+), l AS (
+  SELECT doc_id, n, nd, s, {_ln_int_sql('n')} AS lnn FROM s
+), h AS (
+  SELECT doc_id, n, nd, lnn,
+         (lnn - s / CAST(n AS DOUBLE)) AS hr
+  FROM l
+)
+SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+       ROUND(hr, 6) AS entropy,
+       CASE WHEN n >= 2 THEN ROUND(hr / lnn, 6) ELSE 0.0 END
+         AS entropy_norm
+FROM h
+"""

@@ -2371,6 +2371,79 @@ def q_interleaved_filter(spark, sf_dir):
         (reason == "keep").alias("kept"))
 
 
+def q_quality_entropy(spark, sf_dir):
+    """Per-document token Shannon entropy — the classic repetition /
+    boilerplate signal (low entropy = a few tokens dominate; used
+    alongside the Gopher repetition rules in web-corpus quality
+    filtering): H = ln(n) - (1/n) * sum_w c_w ln(c_w) over the
+    document's token counts, plus the normalized H / ln(n) in [0, 1].
+    Output: (doc_id, n_tokens, n_distinct, entropy, entropy_norm
+    [0 for single-token docs, where ln(n) = 0]).
+
+    Determinism: token counts come from run-boundary differencing
+    over the SORTED token array (see the in-body comment), so the
+    c*ln(c) float sum runs in token-sorted order on both engines
+    (array_sort here == list(... ORDER BY w) in DuckDB, both binary
+    collation on the ASCII corpus); every ln is ln_portable_int;
+    c = 1 contributes an exact +0.0 so the list_sum-vs-0.0-seed
+    conventions agree.
+
+    Scale shape: ZERO shuffles — per-row sort + O(len) array
+    arithmetic; the alternative explode -> groupBy(doc, w) -> regroup
+    would shuffle the entire token stream twice for a per-doc-local
+    quantity.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    # Run lengths WITHOUT a fold: over the sorted array, a run ends at
+    # every 0-based index i where st[i] != st[i+1] (F.get returns NULL
+    # past the end — element_at would raise under ANSI mode — and the
+    # explicit i == n-1 arm closes the last run), and the count array
+    # is the first difference of those boundary indexes.  Everything
+    # is O(len) array arithmetic; the fold alternative re-allocates
+    # the counts array per element (O(d^2) copies, measured 5x
+    # slower), and inlining the 40-op portable-ln tree into a fold
+    # body additionally blows the JVM method limit (measured: ERROR
+    # CodeGenerator + interpreted fallback).  The ln terms evaluate in
+    # one flat transform over the counts, in run order == token-sorted
+    # order (the oracle's list(... ORDER BY w)).
+    s0 = d.select("doc_id", F.array_sort(ts).alias("st"),
+                  F.size(ts).cast("bigint").alias("n"),
+                  F.size(F.array_distinct(ts)).cast("bigint").alias("nd"))
+    ends = F.filter(
+        F.sequence(F.lit(0).cast("bigint"), F.col("n") - 1),
+        lambda i: (i == F.col("n") - 1)
+        | (F.get(F.col("st"), i) != F.get(F.col("st"), i + 1)))
+    sb = s0.select("doc_id", "n", "nd", ends.alias("ends"))
+    counts = F.transform(
+        F.col("ends"),
+        lambda e, k: (e - F.when(k == 0, F.lit(-1).cast("bigint"))
+                      .otherwise(F.element_at(F.col("ends"), k)))
+        .cast("bigint"))
+    s1 = sb.select("doc_id", "n", "nd", counts.alias("cs"))
+    s2 = s1.select(
+        "doc_id", "n", "nd",
+        F.aggregate(
+            F.transform(F.col("cs"),
+                        lambda c: c.cast("double") * ln_portable_int(c)),
+            F.lit(0.0), lambda acc, x: acc + x).alias("s0"))
+    s3 = s2.select("doc_id", "n", "nd", F.col("s0").alias("s"),
+                   ln_portable_int(F.col("n")).alias("lnn"))
+    s4 = s3.select("doc_id", "n", "nd", "lnn",
+                   (F.col("lnn") - F.col("s")
+                    / F.col("n").cast("double")).alias("hr"))
+    return s4.select(
+        "doc_id", F.col("n").alias("n_tokens"),
+        F.col("nd").alias("n_distinct"),
+        F.round(F.col("hr"), 6).alias("entropy"),
+        F.when(F.col("n") >= 2,
+               F.round(F.col("hr") / F.col("lnn"), 6))
+         .otherwise(F.lit(0.0)).alias("entropy_norm"))
+
+
 def q_quality_classifier(spark, sf_dir):
     """Linear content-vs-boilerplate classifier scoring — the
     classifier stage of the reference architecture (a pretrained
@@ -2812,4 +2885,5 @@ EXTRA_QUERIES = {
     "interleaved_filter": q_interleaved_filter,
     "interleaved_pack": q_interleaved_pack,
     "quality_classifier": q_quality_classifier,
+    "quality_entropy": q_quality_entropy,
 }

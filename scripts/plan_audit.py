@@ -228,6 +228,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # zero shuffles/joins — the fastText-scoring production shape.
     "quality_classifier": ([], [r"Exchange", r"Join",
                                 r"BatchEvalPython", r"LocalTableScan"]),
+    # Token entropy (EXTRA_QUERIES): per-row sort + boundary
+    # differencing + flat ln transform — zero shuffles/joins.
+    "quality_entropy": ([], [r"Exchange", r"Join",
+                             r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

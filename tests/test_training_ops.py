@@ -2265,3 +2265,82 @@ def test_quality_classifier_plan(spark):
     assert "Exchange" not in final
     assert "Join" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_quality_entropy_vs_duckdb(spark):
+    """Fourteenth EXTRA-lane operator (token entropy): cell-exact vs
+    the DuckDB oracle; entropy bounded by [0, ln(n_distinct)] and the
+    normalized form in [0, 1]."""
+    import duckdb
+    import numpy as np
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_quality_entropy
+
+    got = q_quality_entropy(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["quality_entropy"]).df()
+    _canon_frames(got, exp)
+    # round(6) can push a uniform doc's entropy up to 5e-7 past the
+    # exact ln(n_distinct) bound.
+    assert ((got.entropy >= -1e-6)
+            & (got.entropy <= np.log(got.n_distinct) + 1e-6)).all()
+    assert ((got.entropy_norm >= 0) & (got.entropy_norm <= 1)).all()
+
+
+def test_quality_entropy_planted(spark, tmp_path):
+    """Hand-built docs pin the signal: an all-distinct doc has maximal
+    entropy (norm exactly 1), an all-same doc has entropy exactly 0,
+    and a skewed doc matches the pure-Python H to rounding tolerance
+    and sits strictly between."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_quality_entropy
+
+    texts = {0: "a b c d e f g h",            # uniform: norm = 1
+             1: "x x x x x x",                # degenerate: H = 0
+             2: "a a a a a a a b c d",        # skewed
+             3: "solo"}                       # 1 token: H = 0, norm 0
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["src0"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {int(r.doc_id): r for r in
+           q_quality_entropy(spark, str(tmp_path)).collect()}
+
+    def ref_h(t):
+        toks = t.split(" ")
+        n = len(toks)
+        s = sum(toks.count(w) * math.log(toks.count(w))
+                for w in set(toks))
+        return math.log(n) - s / n
+
+    assert got[0].entropy_norm == 1.0
+    assert abs(got[0].entropy - math.log(8)) < 2e-6
+    assert got[1].entropy == 0.0 and got[1].entropy_norm == 0.0
+    assert abs(got[2].entropy - ref_h(texts[2])) < 2e-6
+    assert 0.0 < got[2].entropy_norm < 1.0
+    assert got[3].entropy == 0.0 and got[3].entropy_norm == 0.0
+    assert got[3].n_tokens == 1 and got[3].n_distinct == 1
+
+
+def test_quality_entropy_plan(spark):
+    """Zero shuffles — per-row sort + run-length fold; the explode ->
+    double-shuffle alternative is exactly what this plan avoids."""
+    from dragnet_spark.queries import q_quality_entropy
+
+    df = q_quality_entropy(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "Join" not in final
+    assert "BatchEvalPython" not in final
