@@ -1649,3 +1649,37 @@ SELECT doc_id, n AS n_tokens, nd AS n_distinct,
          AS entropy_norm
 FROM h
 """
+
+
+# Approximate k-NN graph (EXTRA lane): same banded sign-LSH candidate
+# generation as embedding_near_dup (both directions), per-source
+# ROW_NUMBER top-4 ordered on the RAW pinned-order cosine with
+# neighbor-id ties.
+EXTRA_ORACLE_SQL["ann_graph_knn"] = ("""
+WITH bands AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {b} AS band, {_nd_band_bucket(b)} AS v"
+    f" FROM embeddings"
+    for b in range(4)) + """
+), cand AS (
+  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.v = c.v AND a.vec_id <> c.vec_id
+), scored AS (
+  SELECT src, dst,
+         {ab} / (SQRT({aa}) * SQRT({bb})) AS cos_raw
+  FROM cand
+  JOIN embeddings ea ON src = ea.vec_id
+  JOIN embeddings eb ON dst = eb.vec_id
+), ranked AS (
+  SELECT src, dst, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cos_raw DESC, dst) AS rank
+  FROM scored
+)
+SELECT src AS vec_id, CAST(rank AS BIGINT) AS rank, dst AS neighbor,
+       ROUND(cos_raw, 6) AS cos_sim
+FROM ranked WHERE rank <= 4
+""").format(ab=_DOTSQL.format(a="ea.embedding", b="eb.embedding"),
+            aa=_DOTSQL.format(a="ea.embedding", b="ea.embedding"),
+            bb=_DOTSQL.format(a="eb.embedding", b="eb.embedding"))

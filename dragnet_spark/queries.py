@@ -2371,6 +2371,66 @@ def q_interleaved_filter(spark, sf_dir):
         (reason == "keep").alias("kept"))
 
 
+# k-NN graph degree (neighbors kept per vector).
+_KNN_K = 4
+
+
+def q_ann_graph_knn(spark, sf_dir):
+    """Approximate k-NN GRAPH construction over the banded sign-LSH
+    candidate structure — the seed graph of NN-Descent / HNSW-style
+    index builds and the neighbor graph that graph-clustering dedup
+    pipelines consume: for EVERY vector, its top-_KNN_K bucket-mates
+    by exact cosine (vs embedding_near_dup, which emits only
+    threshold-crossing PAIRS — a graph needs per-node top-k whatever
+    the similarity).  Output: (vec_id, rank, neighbor, cos_sim), rank
+    1.._KNN_K by (cosine desc, neighbor id asc); vectors whose buckets
+    hold no other vector emit no rows (the LSH-recall contract, same
+    as near-dup: candidates are DEFINED by the banding).
+
+    Determinism: candidates from the same one-scan banding as
+    embedding_near_dup (both directions here, src != dst); ranking
+    orders on the RAW pinned-order cosine (bit-identical across
+    engines) with neighbor-id ties.
+
+    Scale shape: the self-join is per (band, bucket) — each task
+    touches one bucket's vectors, never the corpus, and both join
+    sides reuse ONE banding subplan/exchange; the per-source top-k is
+    a row_number window riding the src key (bounded by bucket sizes,
+    the banding's selectivity knob).  At 10^12 vectors this is the
+    standard LSH-blocked kNN-graph build; hot buckets salt exactly
+    like the near-dup join.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    band_arr = F.array(*[_band_bucket(b) for b in range(_ND_BANDS)])
+    bands = e.select("vec_id", F.posexplode(band_arr).alias("band", "v"))
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (a.join(c, (F.col("a.band") == F.col("c.band"))
+                   & (F.col("a.v") == F.col("c.v"))
+                   & (F.col("a.vec_id") != F.col("c.vec_id")))
+            .select(F.col("a.vec_id").alias("src"),
+                    F.col("c.vec_id").alias("dst"))
+            .distinct())
+    es = e.select(F.col("vec_id").alias("src"),
+                  F.col("embedding").cast("array<double>").alias("es"))
+    ed = e.select(F.col("vec_id").alias("dst"),
+                  F.col("embedding").cast("array<double>").alias("ed"))
+    cos = _cosine(F.col("es"), F.col("ed"))   # sequential fold = oracle
+    scored = (cand.join(es, "src").join(ed, "dst")
+              .select("src", "dst", cos.alias("cos_raw")))
+    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"),
+                                          F.asc("dst"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _KNN_K)
+            .select(F.col("src").alias("vec_id"),
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.col("dst").alias("neighbor"),
+                    F.round(F.col("cos_raw"), 6).alias("cos_sim")))
+
+
 def q_quality_entropy(spark, sf_dir):
     """Per-document token Shannon entropy — the classic repetition /
     boilerplate signal (low entropy = a few tokens dominate; used
@@ -2886,4 +2946,5 @@ EXTRA_QUERIES = {
     "interleaved_pack": q_interleaved_pack,
     "quality_classifier": q_quality_classifier,
     "quality_entropy": q_quality_entropy,
+    "ann_graph_knn": q_ann_graph_knn,
 }

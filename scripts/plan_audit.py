@@ -232,6 +232,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # differencing + flat ln transform — zero shuffles/joins.
     "quality_entropy": ([], [r"Exchange", r"Join",
                              r"BatchEvalPython", r"LocalTableScan"]),
+    # LSH-blocked kNN graph (EXTRA_QUERIES): per-(band, bucket)
+    # candidate self-join + per-src row_number top-k — never a
+    # corpus-level cartesian, nothing Python.
+    "ann_graph_knn": ([r"Window"],
+                      [r"CartesianProduct", r"BatchEvalPython",
+                       r"LocalTableScan"]),
 }
 
 

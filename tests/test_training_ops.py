@@ -2344,3 +2344,110 @@ def test_quality_entropy_plan(spark):
     assert "Exchange" not in final
     assert "Join" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_ann_graph_knn_vs_duckdb(spark):
+    """Fifteenth EXTRA-lane operator (LSH-blocked kNN graph):
+    cell-exact vs the DuckDB oracle; per-source ranks are contiguous
+    from 1, capped at 4, and cosines are non-increasing down each
+    source's list."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_ann_graph_knn
+
+    got = q_ann_graph_knn(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{SF}/embeddings.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["ann_graph_knn"]).df()
+    _canon_frames(got, exp)
+    g = got.sort_values(["vec_id", "rank"])
+    per = g.groupby("vec_id")
+    assert (per["rank"].min() == 1).all()
+    assert (per["rank"].max() <= 4).all()
+    assert (per["rank"].count() == per["rank"].max()).all()
+    assert (per.cos_sim.apply(lambda s: s.is_monotonic_decreasing)).all()
+    assert (g.vec_id != g.neighbor).all()
+
+
+def test_ann_graph_knn_planted(spark, tmp_path):
+    """A pure-Python replica of the whole operator (rational
+    hyperplane banding, bucket candidate generation, sequential-fold
+    cosine, rank by cos desc / neighbor asc) must reproduce the graph
+    exactly on a planted corpus of duplicate clusters; the 6-clone
+    cluster's nodes neighbor the 4 smallest other clone ids at
+    cos_sim exactly 1."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_ann_graph_knn
+
+    rng = np.random.default_rng(424242)
+    dim = 64
+    u = rng.uniform(-0.3, 0.3, dim).astype(np.float32)
+    v = rng.uniform(-0.3, 0.3, dim).astype(np.float32)
+    w = rng.uniform(-0.3, 0.3, dim).astype(np.float32)
+    vecs = {i: u.copy() for i in range(6)}
+    vecs.update({10 + i: v.copy() for i in range(3)})
+    vecs[20] = w
+    ids = sorted(vecs)
+    pq.write_table(pa.Table.from_pydict({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, vecs[i])) for i in ids],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32()),
+    }), f"{tmp_path}/embeddings.parquet")
+
+    def bucket(x, band):
+        b = 0
+        for k in range(8):
+            i = band * 8 + k
+            dot = 0.0
+            for j in range(dim):
+                dot += float(x[j]) * (((j + i * 64) * 37 % 101)
+                                      / 101.0 - 0.5)
+            if dot > 0.0:
+                b += 2 ** k
+        return b
+
+    def cos(x, y):
+        num = ss_x = ss_y = 0.0
+        for j in range(dim):
+            num += float(x[j]) * float(y[j])
+            ss_x += float(x[j]) * float(x[j])
+            ss_y += float(y[j]) * float(y[j])
+        return num / (ss_x ** 0.5 * ss_y ** 0.5)
+
+    buckets = {i: [bucket(vecs[i], b) for b in range(4)] for i in ids}
+    expect = []
+    for s in ids:
+        cands = [d for d in ids if d != s
+                 and any(buckets[s][b] == buckets[d][b]
+                         for b in range(4))]
+        ranked = sorted(cands, key=lambda d: (-cos(vecs[s], vecs[d]), d))
+        for r, d in enumerate(ranked[:4], 1):
+            expect.append((s, r, d, round(cos(vecs[s], vecs[d]), 6)))
+
+    got = sorted(tuple(r) for r in
+                 q_ann_graph_knn(spark, str(tmp_path)).collect())
+    assert got == sorted(expect)
+    for i in range(6):
+        mine = [r for r in got if r[0] == i]
+        assert [(r[2], r[3]) for r in mine] == \
+            [(d, 1.0) for d in sorted(set(range(6)) - {i})[:4]]
+
+
+def test_ann_graph_knn_plan(spark):
+    """The candidate self-join is per (band, bucket) with BOTH sides
+    reusing one banding subplan; the per-source top-k is a window on
+    the src key; nothing cartesian, nothing Python."""
+    from dragnet_spark.queries import q_ann_graph_knn
+
+    df = q_ann_graph_knn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "RunningWindowFunction" in final or "Window" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
