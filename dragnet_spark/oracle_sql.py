@@ -1683,3 +1683,30 @@ FROM ranked WHERE rank <= 4
 """).format(ab=_DOTSQL.format(a="ea.embedding", b="eb.embedding"),
             aa=_DOTSQL.format(a="ea.embedding", b="ea.embedding"),
             bb=_DOTSQL.format(a="eb.embedding", b="eb.embedding"))
+
+
+# Temperature-scaled mixture weights (EXTRA lane): n^0.3 =
+# exp_portable(0.3 * ln_int(n)); both normalizers fixed-point BIGINT
+# (the domain_reweight pattern).
+EXTRA_ORACLE_SQL["mixture_temperature"] = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), scored AS (
+  SELECT source, n_docs, n_tokens,
+         ROUND({_exp_sql("(0.3 * " + _ln_int_sql('n_tokens') + ")")}, 9)
+           AS raw9
+  FROM per
+), z AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+         CAST(SUM(CAST(ROUND(raw9 * 1e9, 0) AS BIGINT)) AS BIGINT)
+           AS z_micro
+  FROM scored
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS weight_prop,
+       ROUND(raw9 / (CAST(z_micro AS DOUBLE) / 1e9), 6) AS weight_temp
+FROM scored CROSS JOIN z
+"""

@@ -2371,6 +2371,66 @@ def q_interleaved_filter(spark, sf_dir):
         (reason == "keep").alias("kept"))
 
 
+# Temperature exponent for source-mixture sampling (XLM-R's alpha).
+_TEMP_ALPHA = 0.3
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source sampling weights (Conneau et al.
+    2020 / XLM-R, mT5): w_d proportional to (n_tokens_d)^alpha with
+    alpha = 0.3 — the standard fix for low-resource sources being
+    drowned out by proportional sampling (the third mixture lever
+    next to mixture_budget_sample's hard budgets and domain_reweight's
+    loss-driven DoReMi step).  Output: (source, n_docs, n_tokens,
+    weight_prop, weight_temp) — proportional vs temperature-flattened
+    weights, each summing to 1.
+
+    Determinism: n^alpha = exp_portable(alpha * ln_portable_int(n)) —
+    one multiply between two portable fixed-order expressions;
+    weight_prop is a division of exact BIGINTs; both normalizers ride
+    the fixed-point BIGINT trick (ROUND(raw, 9) * 1e9 sums — the
+    domain_reweight pattern, associative-exact in any aggregation
+    order).
+
+    Scale shape: one map-side-combinable groupBy(source) to #sources
+    rows, a one-row fixed-point normalizer broadcast back — constant
+    work after the partial agg at any corpus size.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    per = (d.select("source",
+                    F.size(F.split(F.col("text"), " "))
+                     .cast("bigint").alias("nt"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("n_tokens")))
+    # exp_portable re-references its argument ~15x (range reduction +
+    # Horner), so the ln tree must land in its OWN projection first —
+    # inlining it at every use bloats the task binary ~15x (measured
+    # 13.6 MiB; CollapseProject keeps multiply-referenced non-cheap
+    # columns separate).
+    al = per.select("source", "n_docs", "n_tokens",
+                    (F.lit(_TEMP_ALPHA)
+                     * ln_portable_int(F.col("n_tokens"))).alias("al"))
+    scored = al.select("source", "n_docs", "n_tokens",
+                       F.round(exp_portable(F.col("al")), 9)
+                        .alias("raw9"))
+    z = scored.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.sum(F.round(F.col("raw9") * 1e9, 0).cast("bigint"))
+         .alias("z_micro"))
+    return (scored.crossJoin(F.broadcast(z))
+            .select("source", "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens").cast("double")
+                            / F.col("tot").cast("double"), 6)
+                     .alias("weight_prop"),
+                    F.round(F.col("raw9")
+                            / (F.col("z_micro").cast("double")
+                               / F.lit(1e9)), 6).alias("weight_temp")))
+
+
 # k-NN graph degree (neighbors kept per vector).
 _KNN_K = 4
 
@@ -2947,4 +3007,5 @@ EXTRA_QUERIES = {
     "quality_classifier": q_quality_classifier,
     "quality_entropy": q_quality_entropy,
     "ann_graph_knn": q_ann_graph_knn,
+    "mixture_temperature": q_mixture_temperature,
 }

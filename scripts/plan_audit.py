@@ -238,6 +238,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "ann_graph_knn": ([r"Window"],
                       [r"CartesianProduct", r"BatchEvalPython",
                        r"LocalTableScan"]),
+    # Temperature mixture weights (EXTRA_QUERIES): partial-agg rollup
+    # to #sources rows + one-row fixed-point normalizer broadcast.
+    "mixture_temperature": ([r"partial_count"],
+                            [r"CartesianProduct", r"BatchEvalPython",
+                             r"LocalTableScan"]),
 }
 
 

@@ -2451,3 +2451,71 @@ def test_ann_graph_knn_plan(spark):
     assert "RunningWindowFunction" in final or "Window" in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_mixture_temperature_vs_duckdb(spark):
+    """Sixteenth EXTRA-lane operator (temperature sampling): cell-exact
+    vs the DuckDB oracle; both weight columns are valid distributions
+    and the flattening direction holds — temperature weights are
+    closer to uniform than proportional weights for every source (the
+    alpha = 0.3 contract)."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_mixture_temperature
+
+    got = q_mixture_temperature(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["mixture_temperature"]).df()
+    _canon_frames(got, exp)
+    assert abs(got.weight_prop.sum() - 1) < 2e-5
+    assert abs(got.weight_temp.sum() - 1) < 2e-5
+    u = 1.0 / len(got)
+    assert ((got.weight_temp - u).abs()
+            <= (got.weight_prop - u).abs() + 1e-9).all()
+
+
+def test_mixture_temperature_planted(spark, tmp_path):
+    """A 100:1 token imbalance must flatten to ~100^0.3 ~ 3.98 under
+    temperature while staying ~100x under proportional sampling, and
+    both match the pure-Python computation to rounding tolerance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_mixture_temperature
+
+    texts = ([(i, " ".join(["w"] * 100), "big") for i in range(10)]
+             + [(100, " ".join(["w"] * 10), "small")])
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+        "text": pa.array([t[1] for t in texts], pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array([t[2] for t in texts], pa.string()),
+        "n_chars": pa.array([len(t[1]) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {r.source: r for r in
+           q_mixture_temperature(spark, str(tmp_path)).collect()}
+    assert got["big"].n_tokens == 1000 and got["small"].n_tokens == 10
+    assert abs(got["big"].weight_prop / got["small"].weight_prop
+               - 100.0) < 1e-3
+    ratio = got["big"].weight_temp / got["small"].weight_temp
+    assert abs(ratio - 100 ** 0.3) < 1e-4
+    assert abs(got["big"].weight_temp + got["small"].weight_temp
+               - 1.0) < 2e-6
+
+
+def test_mixture_temperature_plan(spark):
+    """One partial-aggregated rollup to #sources rows + a one-row
+    normalizer broadcast; nothing cartesian beyond that benign scalar
+    cross, nothing Python."""
+    from dragnet_spark.queries import q_mixture_temperature
+
+    df = q_mixture_temperature(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
