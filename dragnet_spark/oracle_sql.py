@@ -1710,3 +1710,31 @@ SELECT source, n_docs, n_tokens,
        ROUND(raw9 / (CAST(z_micro AS DOUBLE) / 1e9), 6) AS weight_temp
 FROM scored CROSS JOIN z
 """
+
+
+# T5 span-corruption length accounting (EXTRA lane): the shared md5
+# PRF drives the ~15% mask; spans are maximal masked runs counted by
+# their starts (masked with unmasked predecessor), all exact ints.
+_MASK_SQL = ("substr(md5('m:' || CAST(doc_id AS VARCHAR) || ':' "
+             "|| CAST({p} AS VARCHAR)), 1, 2) < '28'")
+
+EXTRA_ORACLE_SQL["span_corruption"] = """
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+), m AS (
+  SELECT doc_id, n,
+         len(list_filter(generate_series(1, n),
+             p -> {mask})) AS nm,
+         len(list_filter(generate_series(1, n),
+             p -> {mask} AND (p = 1 OR NOT {mask_prev}))) AS ns
+  FROM base
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(nm AS BIGINT) AS n_masked,
+       CAST(ns AS BIGINT) AS n_spans,
+       ROUND(CAST(nm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mask_rate,
+       CAST(n - nm + ns AS BIGINT) AS inputs_len,
+       CAST(nm + ns + 1 AS BIGINT) AS targets_len
+FROM m
+""".format(mask=_MASK_SQL.format(p="p"),
+           mask_prev=_MASK_SQL.format(p="(p - 1)"))

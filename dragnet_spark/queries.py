@@ -2371,6 +2371,65 @@ def q_interleaved_filter(spark, sf_dir):
         (reason == "keep").alias("kept"))
 
 
+def _masked_at(p):
+    """Deterministic corruption mask: token position p of doc_id is
+    masked iff the first TWO hex digits of md5('m:doc_id:p') land
+    below 0x28 (= 40/256 ~ 15.6%, the T5 corruption-rate
+    neighborhood).  Same PRF family as _media_after, different
+    prefix so the two streams are independent."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit("m"),
+                          F.col("doc_id").cast("string"),
+                          p.cast("string"))), 1, 2) < "28"
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption length accounting (Raffel et al. 2020):
+    given the deterministic ~15% token mask, masked positions
+    coalesce into SPANS (maximal masked runs), each span is replaced
+    by one sentinel in the encoder input and reproduced after its
+    sentinel in the decoder target — so inputs_len = n_tokens -
+    n_masked + n_spans and targets_len = n_masked + n_spans + 1 (the
+    final EOS).  Pipelines precompute exactly these two lengths to
+    choose packed batch geometry (the T5 codebase's
+    random_spans_helper solves for them in closed form); this
+    operator materializes them per document.  Output: (doc_id,
+    n_tokens, n_masked, n_spans, mask_rate, inputs_len, targets_len).
+
+    Determinism: the mask is the shared md5 PRF — every count is an
+    exact integer; mask_rate is one exact-operand division, round(6).
+
+    Scale shape: ZERO shuffles — per-row position arithmetic (a span
+    START is a masked position whose predecessor is unmasked, so
+    n_spans needs no sequential walk, just two PRF evaluations per
+    position).
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    base = d.select("doc_id", n.alias("n"))
+    n_masked = F.size(F.filter(F.sequence(F.lit(1), F.col("n")),
+                               _masked_at))
+    n_spans = F.size(F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda p: _masked_at(p)
+        & ((p == 1) | ~_masked_at(p - F.lit(1)))))
+    m = base.select("doc_id", "n", n_masked.alias("nm"),
+                    n_spans.alias("ns"))
+    return m.select(
+        "doc_id", F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("nm").cast("bigint").alias("n_masked"),
+        F.col("ns").cast("bigint").alias("n_spans"),
+        F.round(F.col("nm").cast("double") / F.col("n").cast("double"), 6)
+         .alias("mask_rate"),
+        (F.col("n") - F.col("nm") + F.col("ns")).cast("bigint")
+         .alias("inputs_len"),
+        (F.col("nm") + F.col("ns") + 1).cast("bigint")
+         .alias("targets_len"))
+
+
 # Temperature exponent for source-mixture sampling (XLM-R's alpha).
 _TEMP_ALPHA = 0.3
 
@@ -3008,4 +3067,5 @@ EXTRA_QUERIES = {
     "quality_entropy": q_quality_entropy,
     "ann_graph_knn": q_ann_graph_knn,
     "mixture_temperature": q_mixture_temperature,
+    "span_corruption": q_span_corruption,
 }

@@ -243,6 +243,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "mixture_temperature": ([r"partial_count"],
                             [r"CartesianProduct", r"BatchEvalPython",
                              r"LocalTableScan"]),
+    # T5 span-corruption accounting (EXTRA_QUERIES): per-row PRF
+    # arithmetic, zero shuffles/joins.
+    "span_corruption": ([], [r"Exchange", r"Join",
+                             r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

@@ -2519,3 +2519,79 @@ def test_mixture_temperature_plan(spark):
     assert "partial_count" in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_span_corruption_vs_duckdb(spark):
+    """Seventeenth EXTRA-lane operator (T5 length accounting):
+    cell-exact vs the DuckDB oracle; the sentinel arithmetic holds on
+    every row (inputs_len + targets_len == n_tokens + 2*n_spans + 1),
+    spans never exceed masked tokens, and the corpus-mean mask rate
+    sits in the designed ~15.6% neighborhood."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_span_corruption
+
+    got = q_span_corruption(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["span_corruption"]).df()
+    _canon_frames(got, exp)
+    assert (got.inputs_len + got.targets_len
+            == got.n_tokens + 2 * got.n_spans + 1).all()
+    assert (got.n_spans <= got.n_masked).all()
+    assert ((got.n_spans == 0) == (got.n_masked == 0)).all()
+    assert 0.10 < got.mask_rate.mean() < 0.22
+
+
+def test_span_corruption_planted(spark, tmp_path):
+    """A pure-Python md5 walk must reproduce every count over a
+    120-doc sweep, spans counted exactly as maximal masked runs."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_span_corruption
+
+    def masked(doc_id, p):
+        return hashlib.md5(
+            f"m:{doc_id}:{p}".encode()).hexdigest()[:2] < "28"
+
+    n_docs = 120
+    lens = [(i % 40) + 1 for i in range(n_docs)]
+    texts = [" ".join(f"w{j}" for j in range(L)) for L in lens]
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n_docs, pa.string()),
+        "source": pa.array(["src0"] * n_docs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {int(r.doc_id): r for r in
+           q_span_corruption(spark, str(tmp_path)).collect()}
+    for i in range(n_docs):
+        n = lens[i]
+        mask = [masked(i, p) for p in range(1, n + 1)]
+        nm = sum(mask)
+        ns = sum(1 for k, m in enumerate(mask)
+                 if m and (k == 0 or not mask[k - 1]))
+        r = got[i]
+        assert (r.n_tokens, r.n_masked, r.n_spans) == (n, nm, ns), i
+        assert r.inputs_len == n - nm + ns
+        assert r.targets_len == nm + ns + 1
+
+
+def test_span_corruption_plan(spark):
+    """Zero shuffles — span starts need no sequential walk, just two
+    PRF evaluations per position in one scan-project."""
+    from dragnet_spark.queries import q_span_corruption
+
+    df = q_span_corruption(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "Join" not in final
+    assert "BatchEvalPython" not in final
