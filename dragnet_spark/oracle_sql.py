@@ -1738,3 +1738,38 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
 FROM m
 """.format(mask=_MASK_SQL.format(p="p"),
            mask_prev=_MASK_SQL.format(p="(p - 1)"))
+
+
+# Contrastive pair mining (EXTRA lane): same banded candidates and
+# raw-cosine ranking as ann_graph_knn, partitioned by (anchor, kind):
+# top-1 same-label positive, top-2 different-label hard negatives.
+EXTRA_ORACLE_SQL["hard_negatives"] = ("""
+WITH bands AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {b} AS band, {_nd_band_bucket(b)} AS v"
+    f" FROM embeddings"
+    for b in range(4)) + """
+), cand AS (
+  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.v = c.v AND a.vec_id <> c.vec_id
+), scored AS (
+  SELECT src, dst,
+         {ab} / (SQRT({aa}) * SQRT({bb})) AS cos_raw,
+         CASE WHEN ea.label = eb.label THEN 'pos' ELSE 'neg' END AS kind
+  FROM cand
+  JOIN embeddings ea ON src = ea.vec_id
+  JOIN embeddings eb ON dst = eb.vec_id
+), ranked AS (
+  SELECT src, dst, cos_raw, kind,
+         ROW_NUMBER() OVER (PARTITION BY src, kind
+                            ORDER BY cos_raw DESC, dst) AS rank
+  FROM scored
+)
+SELECT src AS vec_id, kind, CAST(rank AS BIGINT) AS rank,
+       dst AS neighbor, ROUND(cos_raw, 6) AS cos_sim
+FROM ranked
+WHERE rank <= CASE WHEN kind = 'pos' THEN 1 ELSE 2 END
+""").format(ab=_DOTSQL.format(a="ea.embedding", b="eb.embedding"),
+            aa=_DOTSQL.format(a="ea.embedding", b="ea.embedding"),
+            bb=_DOTSQL.format(a="eb.embedding", b="eb.embedding"))

@@ -2430,6 +2430,67 @@ def q_span_corruption(spark, sf_dir):
          .alias("targets_len"))
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive training-pair mining over the LSH candidate
+    structure — the data-side half of dense-retriever / embedding
+    training (ANCE [Xiong et al. 2021] mines hard negatives from the
+    current index exactly like this; DPR/SimCSE consume the pairs):
+    for every anchor vector, its top-1 most-similar SAME-label
+    bucket-mate (the positive) and its top-2 most-similar
+    DIFFERENT-label bucket-mates (the hard negatives — similar
+    embeddings the model must learn to separate).  Output: (vec_id,
+    kind ['pos'|'neg'], rank, neighbor, cos_sim); anchors with no
+    same-label (resp. different-label) candidate emit no rows of that
+    kind (the LSH-recall contract).
+
+    Determinism: identical candidate generation and raw-cosine
+    ranking as q_ann_graph_knn, partitioned by (anchor, kind).
+
+    Scale shape: same as the kNN graph — per-(band, bucket) self-join
+    over ONE reused banding subplan, label lookup rides the existing
+    embedding joins (no extra shuffle), per-(src, kind) row_number
+    top-k.  This is how production retriever refreshes mine negatives
+    at billion-passage scale: block with ANN, rank exactly within
+    blocks.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding",
+                                               "label")
+    band_arr = F.array(*[_band_bucket(b) for b in range(_ND_BANDS)])
+    bands = (e.select("vec_id", "embedding")
+             .select("vec_id", F.posexplode(band_arr).alias("band", "v")))
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (a.join(c, (F.col("a.band") == F.col("c.band"))
+                   & (F.col("a.v") == F.col("c.v"))
+                   & (F.col("a.vec_id") != F.col("c.vec_id")))
+            .select(F.col("a.vec_id").alias("src"),
+                    F.col("c.vec_id").alias("dst"))
+            .distinct())
+    es = e.select(F.col("vec_id").alias("src"),
+                  F.col("embedding").cast("array<double>").alias("es"),
+                  F.col("label").alias("ls"))
+    ed = e.select(F.col("vec_id").alias("dst"),
+                  F.col("embedding").cast("array<double>").alias("ed"),
+                  F.col("label").alias("ld"))
+    cos = _cosine(F.col("es"), F.col("ed"))   # sequential fold = oracle
+    scored = (cand.join(es, "src").join(ed, "dst")
+              .select("src", "dst", cos.alias("cos_raw"),
+                      F.when(F.col("ls") == F.col("ld"), "pos")
+                       .otherwise("neg").alias("kind")))
+    w = Window.partitionBy("src", "kind").orderBy(F.desc("cos_raw"),
+                                                  F.asc("dst"))
+    keep = F.when(F.col("kind") == "pos", 1).otherwise(2)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= keep)
+            .select(F.col("src").alias("vec_id"), "kind",
+                    F.col("rank").cast("bigint").alias("rank"),
+                    F.col("dst").alias("neighbor"),
+                    F.round(F.col("cos_raw"), 6).alias("cos_sim")))
+
+
 # Temperature exponent for source-mixture sampling (XLM-R's alpha).
 _TEMP_ALPHA = 0.3
 
@@ -3068,4 +3129,5 @@ EXTRA_QUERIES = {
     "ann_graph_knn": q_ann_graph_knn,
     "mixture_temperature": q_mixture_temperature,
     "span_corruption": q_span_corruption,
+    "hard_negatives": q_hard_negatives,
 }

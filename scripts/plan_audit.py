@@ -247,6 +247,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # arithmetic, zero shuffles/joins.
     "span_corruption": ([], [r"Exchange", r"Join",
                              r"BatchEvalPython", r"LocalTableScan"]),
+    # Contrastive pair mining (EXTRA_QUERIES): the kNN-graph shape
+    # with a (src, kind) window — per-(band, bucket), never cartesian.
+    "hard_negatives": ([r"Window"],
+                       [r"CartesianProduct", r"BatchEvalPython",
+                        r"LocalTableScan"]),
 }
 
 

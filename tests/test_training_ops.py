@@ -2595,3 +2595,82 @@ def test_span_corruption_plan(spark):
     assert "Exchange" not in final
     assert "Join" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_hard_negatives_vs_duckdb(spark):
+    """Eighteenth EXTRA-lane operator (contrastive pair mining):
+    cell-exact vs the DuckDB oracle; at most 1 positive and 2
+    negatives per anchor, ranks contiguous within each (anchor, kind),
+    and no anchor is its own neighbor."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_hard_negatives
+
+    got = q_hard_negatives(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{SF}/embeddings.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["hard_negatives"]).df()
+    _canon_frames(got, exp)
+    per = got.groupby(["vec_id", "kind"])["rank"]
+    assert (per.min() == 1).all()
+    caps = got.kind.map({"pos": 1, "neg": 2})
+    assert (got["rank"] <= caps).all()
+    assert (got.vec_id != got.neighbor).all()
+
+
+def test_hard_negatives_planted(spark, tmp_path):
+    """Planted clusters pin the mining semantics: among co-bucketed
+    exact clones, an anchor's positive is its smallest same-label
+    clone id at cos exactly 1, and its hard negatives are the two
+    smallest different-label clone ids at cos exactly 1 (id
+    tie-break); a label-unique vector sharing buckets emits negatives
+    but no positive."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_hard_negatives
+
+    rng = np.random.default_rng(777)
+    u = rng.uniform(-0.3, 0.3, 64).astype(np.float32)
+    # 6 clones of one direction: ids 0,1,2 label 0; ids 3,4 label 1;
+    # id 5 label 2 (unique label).  Identical vectors share every
+    # bucket, so all are mutual candidates with cos exactly 1.
+    ids = list(range(6))
+    labels = [0, 0, 0, 1, 1, 2]
+    pq.write_table(pa.Table.from_pydict({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, u))] * 6,
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), f"{tmp_path}/embeddings.parquet")
+
+    rows = q_hard_negatives(spark, str(tmp_path)).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(int(r.vec_id), {}).setdefault(r.kind, []).append(
+            (r.rank, r.neighbor, r.cos_sim))
+    for v in got.values():
+        for k in v:
+            v[k].sort()
+    assert got[0]["pos"] == [(1, 1, 1.0)]
+    assert got[0]["neg"] == [(1, 3, 1.0), (2, 4, 1.0)]
+    assert got[3]["pos"] == [(1, 4, 1.0)]
+    assert got[3]["neg"] == [(1, 0, 1.0), (2, 1, 1.0)]
+    assert "pos" not in got[5]              # unique label: no positive
+    assert got[5]["neg"] == [(1, 0, 1.0), (2, 1, 1.0)]
+
+
+def test_hard_negatives_plan(spark):
+    """Same shape as the kNN graph: per-(band, bucket) self-join,
+    per-(src, kind) window, nothing cartesian, nothing Python."""
+    from dragnet_spark.queries import q_hard_negatives
+
+    df = q_hard_negatives(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
