@@ -1773,3 +1773,37 @@ WHERE rank <= CASE WHEN kind = 'pos' THEN 1 ELSE 2 END
 """).format(ab=_DOTSQL.format(a="ea.embedding", b="eb.embedding"),
             aa=_DOTSQL.format(a="ea.embedding", b="ea.embedding"),
             bb=_DOTSQL.format(a="eb.embedding", b="eb.embedding"))
+
+
+# Winnowing fingerprints (EXTRA lane): md5 k-gram hashes, per-window
+# VARCHAR minima, distinct + sort + digest — all string ops, no
+# floats; mirrors queries.q_fingerprint_winnow (k=3, w=4).
+EXTRA_ORACLE_SQL["fingerprint_winnow"] = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_transform(generate_series(1, len(ts) - 2),
+               i -> md5(array_to_string(ts[i:i + 2], ' ')))
+         ELSE [] END AS g
+  FROM tok
+), k AS (
+  SELECT doc_id, len(g) AS ng,
+         CASE WHEN len(g) >= 4 THEN
+           list_transform(generate_series(1, len(g) - 3),
+               j -> list_min(g[j:j + 3]))
+         WHEN len(g) >= 1 THEN [list_min(g)]
+         ELSE [] END AS kept
+  FROM g
+)
+SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(kept)) AS BIGINT) AS n_kept,
+       -- array_to_string of an EMPTY list is NULL in DuckDB (not ''):
+       -- coalesce so gram-less docs digest the empty string like the
+       -- Spark side (caught by the random-corpus fuzz).
+       md5(COALESCE(
+           array_to_string(list_sort(list_distinct(kept)), ''), ''))
+         AS fp_digest
+FROM k
+"""

@@ -2430,6 +2430,62 @@ def q_span_corruption(spark, sf_dir):
          .alias("targets_len"))
 
 
+# Winnowing geometry: k-gram size and winnow window (guarantee: any
+# shared run of >= _WIN_W + _WIN_K - 1 tokens shares a fingerprint).
+_WIN_K = 3
+_WIN_W = 4
+
+
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm; the storage-efficient local
+    fingerprinting used for code/plagiarism dedup in LLM data
+    pipelines): hash every _WIN_K-token gram, slide a _WIN_W-hash
+    window and keep each window's MINIMUM hash — the guarantee is
+    that any match of >= _WIN_W + _WIN_K - 1 tokens between two
+    documents shares at least one kept fingerprint, while storage
+    drops to ~2/(_WIN_W+1) of the gram count.  Output: (doc_id,
+    n_grams, n_kept [distinct winnowed hashes], fp_digest [md5 over
+    the sorted kept set — a comparable whole-document fingerprint]).
+    Docs with fewer grams than the window keep their global minimum
+    (the standard short-doc degeneration); docs shorter than one gram
+    keep nothing (digest of the empty string).
+
+    Determinism: hashes are md5 hex strings — minima and sorts are
+    plain VARCHAR comparisons, identical in both engines; no floats
+    anywhere.
+
+    Scale shape: ZERO shuffles — per-row array arithmetic (the
+    winnow is O(n * w) string compares; the classic deque O(n) form
+    is an imperative micro-optimization the JVM expression wins on
+    anyway at w = 4).  The kept-set digest makes corpus-level dedup a
+    plain exact groupBy on fp_digest downstream.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    n = F.size(ts)
+    grams = F.when(n >= _WIN_K, F.transform(
+        F.sequence(F.lit(1), n - F.lit(_WIN_K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, _WIN_K))))) \
+        .otherwise(F.array().cast("array<string>"))
+    g1 = d.select("doc_id", grams.alias("g"))
+    ng = F.size(F.col("g"))
+    kept = (F.when(ng >= _WIN_W, F.transform(
+                F.sequence(F.lit(1), ng - F.lit(_WIN_W - 1)),
+                lambda j: F.array_min(F.slice(F.col("g"), j, _WIN_W))))
+            .when(ng >= 1, F.array(F.array_min(F.col("g"))))
+            .otherwise(F.array().cast("array<string>")))
+    g2 = g1.select("doc_id", ng.cast("bigint").alias("n_grams"),
+                   F.array_sort(F.array_distinct(kept)).alias("kept"))
+    return g2.select(
+        "doc_id", "n_grams",
+        F.size(F.col("kept")).cast("bigint").alias("n_kept"),
+        F.md5(F.concat_ws("", F.col("kept"))).alias("fp_digest"))
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive training-pair mining over the LSH candidate
     structure — the data-side half of dense-retriever / embedding
@@ -3130,4 +3186,5 @@ EXTRA_QUERIES = {
     "mixture_temperature": q_mixture_temperature,
     "span_corruption": q_span_corruption,
     "hard_negatives": q_hard_negatives,
+    "fingerprint_winnow": q_fingerprint_winnow,
 }

@@ -252,6 +252,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "hard_negatives": ([r"Window"],
                        [r"CartesianProduct", r"BatchEvalPython",
                         r"LocalTableScan"]),
+    # Winnowing fingerprints (EXTRA_QUERIES): per-row string/array
+    # arithmetic, zero shuffles/joins.
+    "fingerprint_winnow": ([], [r"Exchange", r"Join",
+                                r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

@@ -2674,3 +2674,95 @@ def test_hard_negatives_plan(spark):
     assert "Window" in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_fingerprint_winnow_vs_duckdb(spark):
+    """Nineteenth EXTRA-lane operator (MOSS winnowing): cell-exact vs
+    the DuckDB oracle; kept counts are bounded by the gram count,
+    exact-duplicate texts share a digest, and the corpus-mean kept
+    fraction sits at the theoretical ~2/(w+1) = 0.4 density."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_fingerprint_winnow
+
+    got = q_fingerprint_winnow(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["fingerprint_winnow"]).df()
+    _canon_frames(got, exp)
+    assert (got.n_kept <= got.n_grams.clip(lower=1)).all()
+    assert ((got.n_kept >= 1) == (got.n_grams >= 1)).all()
+    frac = (got.n_kept / got.n_grams.clip(lower=1)).mean()
+    assert 0.25 < frac < 0.55
+
+
+def test_fingerprint_winnow_planted(spark, tmp_path):
+    """A pure-Python winnow must reproduce every digest, and the MOSS
+    guarantee holds: two documents sharing a >= w+k-1 = 6-token run
+    share at least one winnowed fingerprint, while disjoint documents
+    share none."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_fingerprint_winnow
+
+    shared = "alpha beta gamma delta epsilon zeta"      # 6-token run
+    texts = {
+        0: shared + " one two three",
+        1: "nine eight " + shared,                       # shares the run
+        2: "p q r s t u v w",                            # disjoint
+        3: "x y",                                        # < k tokens
+        4: "a b c",                                      # 1 gram
+        5: shared + " one two three",                    # exact dup of 0
+    }
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    def winnow(t):
+        toks = t.split(" ")
+        g = [hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()
+             for i in range(len(toks) - 2)]
+        if len(g) >= 4:
+            kept = [min(g[j:j + 4]) for j in range(len(g) - 3)]
+        elif g:
+            kept = [min(g)]
+        else:
+            kept = []
+        ks = sorted(set(kept))
+        return (len(g), len(ks),
+                hashlib.md5("".join(ks).encode()).hexdigest(), set(ks))
+
+    got = {int(r.doc_id): r for r in
+           q_fingerprint_winnow(spark, str(tmp_path)).collect()}
+    sets = {}
+    for i, t in texts.items():
+        ng, nk, dig, ks = winnow(t)
+        assert (got[i].n_grams, got[i].n_kept, got[i].fp_digest) == \
+            (ng, nk, dig), i
+        sets[i] = ks
+    assert sets[0] & sets[1]                 # the MOSS guarantee
+    assert not (sets[0] & sets[2])
+    assert got[0].fp_digest == got[5].fp_digest
+    assert got[3].n_grams == 0 and got[3].n_kept == 0
+    assert got[4].n_grams == 1 and got[4].n_kept == 1
+
+
+def test_fingerprint_winnow_plan(spark):
+    """Zero shuffles — per-row string/array arithmetic only."""
+    from dragnet_spark.queries import q_fingerprint_winnow
+
+    df = q_fingerprint_winnow(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "Join" not in final
+    assert "BatchEvalPython" not in final
