@@ -1807,3 +1807,19 @@ SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
          AS fp_digest
 FROM k
 """
+
+
+# Bloom-filter sketch (EXTRA lane): four 8-hex-digit slices of
+# md5(text) mod 65536, 32-bit words, BIT_OR merge — all integer.
+EXTRA_ORACLE_SQL["dedup_bloom"] = """
+WITH keys AS (
+  SELECT md5(text) AS h FROM documents
+), ex AS (
+  SELECT ('0x' || substr(h, 1 + 8 * i.i, 8))::BIGINT % 65536 AS idx
+  FROM keys, UNNEST([0, 1, 2, 3]) AS i(i)
+)
+SELECT CAST(idx // 32 AS BIGINT) AS word_idx,
+       CAST(bit_or(CAST(power(2.0, idx % 32) AS BIGINT)) AS BIGINT)
+         AS bits
+FROM ex GROUP BY 1
+"""

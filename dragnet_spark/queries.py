@@ -2430,6 +2430,51 @@ def q_span_corruption(spark, sf_dir):
          .alias("targets_len"))
 
 
+# Bloom geometry: m bits in 32-bit words, k hash functions.
+_BLOOM_M = 65536
+_BLOOM_K = 4
+
+
+def q_dedup_bloom(spark, sf_dir):
+    """Deterministic Bloom-filter sketch of the corpus's exact-dedup
+    fingerprints — the memory-bounded membership structure every
+    incremental web-crawl dedup keeps between snapshots (a new
+    crawl's docs probe the standing filter before any shuffle; false
+    positives only cost a recheck, never a lost doc): k = 4 bit
+    positions per md5(text) key (four disjoint 8-hex-digit slices of
+    the SAME md5, each mod m = 65536), bits packed into 32-bit words.
+    Output: one row per NON-EMPTY word — (word_idx, bits) — the
+    sparse filter; the consumer ORs snapshots together (BIT_OR is the
+    merge, exactly like the HLL register MAX).
+
+    Determinism: bit values are exact powers of two below 2^32
+    (pow(2.0, bit) is integer-exact in a double; 32-bit words keep
+    the sign bit untouched so BIGINT BIT_OR agrees across engines);
+    everything else is md5 + integer arithmetic.
+
+    Scale shape: ONE map-side-combinable BIT_OR aggregation from the
+    key scan to at most m/32 = 2048 rows — the classic mergeable
+    -sketch shape (partial filters OR per partition before the
+    exchange); the filter itself broadcasts for probing.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    idxs = F.array(*[
+        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+         % _BLOOM_M)
+        for i in range(_BLOOM_K)])
+    ex = d.select(F.explode(idxs).alias("idx"))
+    bit = (F.col("idx") % 32).cast("int")
+    word = (F.col("idx") - F.col("idx") % 32) / F.lit(32)
+    wb = ex.select(word.cast("bigint").alias("word_idx"),
+                   F.pow(F.lit(2.0), bit).cast("bigint").alias("b"))
+    return (wb.groupBy("word_idx")
+            .agg(F.bit_or("b").alias("bits")))
+
+
 # Winnowing geometry: k-gram size and winnow window (guarantee: any
 # shared run of >= _WIN_W + _WIN_K - 1 tokens shares a fingerprint).
 _WIN_K = 3
@@ -3187,4 +3232,5 @@ EXTRA_QUERIES = {
     "span_corruption": q_span_corruption,
     "hard_negatives": q_hard_negatives,
     "fingerprint_winnow": q_fingerprint_winnow,
+    "dedup_bloom": q_dedup_bloom,
 }

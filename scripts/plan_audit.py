@@ -256,6 +256,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # arithmetic, zero shuffles/joins.
     "fingerprint_winnow": ([], [r"Exchange", r"Join",
                                 r"BatchEvalPython", r"LocalTableScan"]),
+    # Bloom sketch (EXTRA_QUERIES): one map-side-combinable BIT_OR
+    # aggregation to <= 2048 rows — the mergeable-sketch shape.
+    "dedup_bloom": ([r"partial_bit_or"],
+                    [r"Join", r"CartesianProduct",
+                     r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

@@ -2766,3 +2766,99 @@ def test_fingerprint_winnow_plan(spark):
     assert "Exchange" not in final
     assert "Join" not in final
     assert "BatchEvalPython" not in final
+
+
+def _bloom_ref(texts, m=65536, k=4):
+    """Pure-Python replica of q_dedup_bloom: word_idx -> 32-bit word."""
+    import hashlib
+
+    words = {}
+    for t in texts:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for i in range(k):
+            idx = int(h[8 * i:8 * i + 8], 16) % m
+            words[idx // 32] = words.get(idx // 32, 0) | (1 << (idx % 32))
+    return words
+
+
+def test_dedup_bloom_vs_duckdb(spark):
+    """Twentieth EXTRA-lane operator (Bloom sketch): cell-exact vs the
+    DuckDB oracle; words are in range, fit 32 bits, and are
+    non-empty (the sparse contract)."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_dedup_bloom
+
+    got = q_dedup_bloom(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["dedup_bloom"]).df()
+    _canon_frames(got, exp)
+    assert ((got.word_idx >= 0) & (got.word_idx < 2048)).all()
+    assert ((got.bits > 0) & (got.bits < 2 ** 32)).all()
+
+
+def test_dedup_bloom_planted(spark, tmp_path):
+    """The pure-Python replica must match word-for-word; every
+    inserted key probes positive; 2000 random non-keys measure zero
+    false positives at this fill (theory ~1e-10); and the filter of a
+    union equals the OR of the parts' filters (the snapshot-merge
+    contract)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_dedup_bloom
+
+    def write(texts, path):
+        pq.write_table(pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), f"{path}/documents.parquet")
+
+    texts_a = [f"doc a number {i}" for i in range(30)]
+    texts_b = [f"doc b number {i}" for i in range(20)]
+    for sub, txts in (("a", texts_a), ("b", texts_b),
+                      ("ab", texts_a + texts_b)):
+        (tmp_path / sub).mkdir()
+        write(txts, tmp_path / sub)
+
+    filt = {}
+    for sub in ("a", "b", "ab"):
+        filt[sub] = {int(r.word_idx): int(r.bits) for r in
+                     q_dedup_bloom(spark, str(tmp_path / sub)).collect()}
+    assert filt["ab"] == _bloom_ref(texts_a + texts_b)
+    merged = dict(filt["a"])
+    for wi, b in filt["b"].items():
+        merged[wi] = merged.get(wi, 0) | b
+    assert merged == filt["ab"]
+
+    def probe(f, t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return all(
+            f.get(int(h[8 * i:8 * i + 8], 16) % 65536 // 32, 0)
+            >> (int(h[8 * i:8 * i + 8], 16) % 65536 % 32) & 1
+            for i in range(4))
+
+    assert all(probe(filt["ab"], t) for t in texts_a + texts_b)
+    fp = sum(probe(filt["ab"], f"absent {j}") for j in range(2000))
+    assert fp == 0
+
+
+def test_dedup_bloom_plan(spark):
+    """One map-side-combinable BIT_OR aggregation — the mergeable
+    -sketch shape (partial ORs before the exchange), nothing else."""
+    from dragnet_spark.queries import q_dedup_bloom
+
+    df = q_dedup_bloom(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_bit_or" in final
+    assert "Join" not in final
+    assert "BatchEvalPython" not in final
