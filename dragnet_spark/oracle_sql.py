@@ -1823,3 +1823,26 @@ SELECT CAST(idx // 32 AS BIGINT) AS word_idx,
          AS bits
 FROM ex GROUP BY 1
 """
+
+
+# Per-source curation report (EXTRA lane): the full curate cascade
+# (its recursive CTE nests cleanly) rolled up per (source, reason);
+# frac_docs via an exact-BIGINT window sum.
+EXTRA_ORACLE_SQL["curate_report"] = f"""
+WITH cd AS ({ORACLE_SQL['curate_decisions']}),
+tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+), per AS (
+  SELECT t.source, cd.reason, COUNT(*) AS n_docs,
+         CAST(SUM(t.nt) AS BIGINT) AS n_tokens
+  FROM cd JOIN tok t USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT source, reason, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE),
+             6) AS frac_docs
+FROM per
+"""

@@ -2430,6 +2430,47 @@ def q_span_corruption(spark, sf_dir):
          .alias("targets_len"))
 
 
+def q_curate_report(spark, sf_dir):
+    """Per-source curation report — the dashboard every production
+    pipeline publishes after a curation run (what did each source
+    lose, and to which rule?): the full curate_decisions cascade
+    joined back to the document axis and rolled up per
+    (source, reason) with document/token counts and each reason's
+    within-source document fraction.  Output: (source, reason,
+    n_docs, n_tokens, frac_docs).
+
+    Determinism: counts/token sums are exact BIGINTs; frac_docs is
+    one exact-operand division (the within-source total is an exact
+    window SUM over BIGINTs), round(6).
+
+    Scale shape: everything heavy is the separately-audited
+    curate_decisions chain; on top sit one doc_id join against the
+    (doc_id, source, n_tokens) projection, a partial-aggregated
+    rollup to #sources x #reasons rows, and a window over that TINY
+    relation (per-source partitions — never SinglePartition).  The
+    composition proves the gate's decisions aggregate without any
+    extra pass over the text.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    cd = q_curate_decisions(spark, sf_dir).select("doc_id", "reason")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt"))
+    per = (cd.join(d, "doc_id")
+           .groupBy("source", "reason")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("n_tokens")))
+    w = Window.partitionBy("source")
+    return per.select(
+        "source", "reason", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double"), 6)
+         .alias("frac_docs"))
+
+
 # Bloom geometry: m bits in 32-bit words, k hash functions.
 _BLOOM_M = 65536
 _BLOOM_K = 4
@@ -3233,4 +3274,5 @@ EXTRA_QUERIES = {
     "hard_negatives": q_hard_negatives,
     "fingerprint_winnow": q_fingerprint_winnow,
     "dedup_bloom": q_dedup_bloom,
+    "curate_report": q_curate_report,
 }

@@ -261,6 +261,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "dedup_bloom": ([r"partial_bit_or"],
                     [r"Join", r"CartesianProduct",
                      r"BatchEvalPython", r"LocalTableScan"]),
+    # Per-source curation report (EXTRA_QUERIES): the audited curate
+    # chain + one doc_id join + a rollup + a per-source window over
+    # the tiny (source, reason) relation.
+    "curate_report": ([r"partial_count",
+                       r"windowspecdefinition\(source#"],
+                      [r"CartesianProduct", r"BatchEvalPython"]),
 }
 
 

@@ -2862,3 +2862,83 @@ def test_dedup_bloom_plan(spark):
     assert "partial_bit_or" in final
     assert "Join" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_curate_report_vs_duckdb(spark):
+    """Twenty-first EXTRA-lane operator (curation dashboard):
+    cell-exact vs the DuckDB oracle (the recursive curate CTE nests
+    cleanly); per-source fractions sum to 1 and the per-(source,
+    reason) doc counts reconcile exactly with the standalone
+    curate_decisions relation."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_curate_decisions, q_curate_report
+
+    got = q_curate_report(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["curate_report"]).df()
+    _canon_frames(got, exp)
+    sums = got.groupby("source").frac_docs.sum()
+    assert ((sums - 1).abs() < 2e-5).all()
+    cd = q_curate_decisions(spark, SF).toPandas()
+    assert got.n_docs.sum() == len(cd)
+    by_reason = got.groupby("reason").n_docs.sum().to_dict()
+    assert by_reason == cd.reason.value_counts().to_dict()
+
+
+def test_curate_report_planted(spark, tmp_path):
+    """A corpus engineered so each source concentrates one rule (a
+    duplicate-heavy source, a too-short source, a clean source) must
+    report exactly those losses per source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_curate_report
+
+    rows = []
+    # dup-heavy source: 4 identical docs (1 kept + 3 'duplicate').
+    for i in range(4):
+        rows.append((200 + i, "alpha beta gamma delta epsilon zeta eta",
+                     "dupsrc"))
+    # short source: 3 docs under 5 words ('too_short').
+    for i in range(3):
+        rows.append((300 + i, f"tiny doc {i}", "shortsrc"))
+    # clean source: distinct 8-word docs.
+    for i in range(5):
+        rows.append((400 + i,
+                     " ".join(f"c{i}w{j}" for j in range(8)), "clean"))
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {(r.source, r.reason): r for r in
+           q_curate_report(spark, str(tmp_path)).collect()}
+    assert got[("dupsrc", "duplicate")].n_docs == 3
+    assert got[("dupsrc", "keep")].n_docs == 1
+    assert got[("dupsrc", "duplicate")].frac_docs == 0.75
+    assert got[("shortsrc", "too_short")].n_docs == 3
+    assert got[("shortsrc", "too_short")].frac_docs == 1.0
+    assert got[("clean", "keep")].n_docs == 5
+    assert got[("clean", "keep")].frac_docs == 1.0
+    assert got[("dupsrc", "duplicate")].n_tokens == 21
+
+
+def test_curate_report_plan(spark):
+    """On top of the audited curate chain: one doc_id join, one
+    partial-agg rollup, and a per-source window over the tiny
+    (source, reason) relation — never SinglePartition for it."""
+    from dragnet_spark.queries import q_curate_report
+
+    df = q_curate_report(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final
+    assert "windowspecdefinition(source#" in final
+    assert "BatchEvalPython" not in final
