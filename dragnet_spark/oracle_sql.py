@@ -1846,3 +1846,20 @@ SELECT source, reason, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
              6) AS frac_docs
 FROM per
 """
+
+
+# Round-1 BPE merge statistics (EXTRA lane): adjacent char pairs via
+# the shared column-form substr, exact counts, top-10 with pair ties.
+EXTRA_ORACLE_SQL["bpe_merges"] = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), p AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM w WHERE len(w) >= 2
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 10
+"""

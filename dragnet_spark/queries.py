@@ -2430,6 +2430,41 @@ def q_span_corruption(spark, sf_dir):
          .alias("targets_len"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Round-1 BPE merge statistics (Sennrich, Haddow & Birch 2016):
+    the top-10 adjacent character pairs by corpus frequency — the
+    argmax of this table IS the first merge a BPE tokenizer trainer
+    performs, and the full ranking is the merge candidate list
+    (successive rounds re-tokenize and recount; at corpus scale each
+    round is exactly this distributed job over the current symbol
+    sequences, driver-looped like connected components).  Output:
+    (pair, n_occurrences), ties by pair.
+
+    Determinism: pure string/integer — pair extraction via the
+    column-form substr both engines share, counts exact.
+
+    Scale shape: one exploded char-pair scan into a map-side partial
+    count, then TakeOrderedAndProject for the top-10 — token_topk's
+    audited shape one level down the tokenization stack (~5 chars/
+    token => ~5x the rows of a token count, same plan).
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    n = F.length(F.col("w"))
+    pairs = (w.where(n >= 2)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(1), n - 1),
+                 lambda i: F.substr(F.col("w"), i, F.lit(2))))
+                 .alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(10))
+
+
 def q_curate_report(spark, sf_dir):
     """Per-source curation report — the dashboard every production
     pipeline publishes after a curation run (what did each source
@@ -3275,4 +3310,5 @@ EXTRA_QUERIES = {
     "fingerprint_winnow": q_fingerprint_winnow,
     "dedup_bloom": q_dedup_bloom,
     "curate_report": q_curate_report,
+    "bpe_merges": q_bpe_merges,
 }

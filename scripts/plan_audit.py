@@ -267,6 +267,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "curate_report": ([r"partial_count",
                        r"windowspecdefinition\(source#"],
                       [r"CartesianProduct", r"BatchEvalPython"]),
+    # BPE round-1 merge stats (EXTRA_QUERIES): token_topk's shape one
+    # level down — partial count + TakeOrdered.
+    "bpe_merges": ([r"TakeOrderedAndProject", r"partial_count"],
+                   [r"Join", r"CartesianProduct",
+                    r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

@@ -2942,3 +2942,68 @@ def test_curate_report_plan(spark):
     assert "partial_count" in final
     assert "windowspecdefinition(source#" in final
     assert "BatchEvalPython" not in final
+
+
+def test_bpe_merges_vs_duckdb(spark):
+    """Twenty-second EXTRA-lane operator (BPE round-1 statistics):
+    ordered-relation exact vs the DuckDB oracle; counts
+    non-increasing and pairs are 2 chars."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_bpe_merges
+
+    got = q_bpe_merges(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["bpe_merges"]).df()
+    assert got.values.tolist() == exp.values.tolist()
+    assert (got.n_occurrences.diff().dropna() <= 0).all()
+    assert got.pair.str.len().eq(2).all()
+
+
+def test_bpe_merges_planted(spark, tmp_path):
+    """A pure-Python pair count over a crafted corpus must match
+    exactly, including the overlapping-pair semantics ('aaa' yields
+    two 'aa' pairs) and the tie-break on pair text."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_bpe_merges
+
+    texts = ["aaa bb low lower lowest", "low low newer newest",
+             "x ab ab ba"]
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    c = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.pair, r.n_occurrences) for r in
+           q_bpe_merges(spark, str(tmp_path)).collect()]
+    assert got == expect
+    assert c["aa"] == 2                       # overlap inside 'aaa'
+
+
+def test_bpe_merges_plan(spark):
+    """token_topk's audited shape one level down: partial count +
+    TakeOrderedAndProject, nothing Python."""
+    from dragnet_spark.queries import q_bpe_merges
+
+    df = q_bpe_merges(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "partial_count" in final
+    assert "BatchEvalPython" not in final
