@@ -1863,3 +1863,22 @@ FROM p GROUP BY pair
 ORDER BY n_occurrences DESC, pair
 LIMIT 10
 """
+
+
+# Per-source bottom-k sample (EXTRA lane): the oracle runs the plain
+# ONE-level window — the Spark side's two-level bucket scan must
+# select identically (a source's k smallest hashes occupy at most k
+# buckets, so no true bottom-k row is lost at level 1).
+EXTRA_ORACLE_SQL["sample_bottomk"] = """
+WITH h AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), r AS (
+  SELECT source, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY h, doc_id) AS rank
+  FROM h
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, h
+FROM r WHERE rank <= 5
+"""

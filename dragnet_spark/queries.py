@@ -2430,6 +2430,50 @@ def q_span_corruption(spark, sf_dir):
          .alias("targets_len"))
 
 
+# Bottom-k sample size per source.
+_BK_K = 5
+
+
+def q_sample_bottomk(spark, sf_dir):
+    """Deterministic per-source bottom-k sample — k uniform documents
+    without replacement per source, reproducible across runs and
+    engines: keep each source's _BK_K docs with the smallest
+    md5(doc_id) (the bottom-k sketch; because md5 is a fixed PRF the
+    sample is simultaneously a random sample AND a stable one —
+    reruns, resumes and the oracle all select the same docs; contrast
+    sample_stratified's fixed-RATE predicate, which cannot promise a
+    fixed SIZE).  Output: (source, rank, doc_id, h).
+
+    Scale shape: the naive per-source window is one task per source
+    (the mixture_budget_sample skew lesson), so the selection is
+    TWO-LEVEL — per (source, first-hex-digit-bucket) bottom-k first
+    (parallelism 16x sources; 256x with a 2-hex bucket at web
+    scale), then bottom-k over the tiny source x 16 x k candidate
+    relation.  Both levels are rank-limited windows, which Spark
+    executes as WindowGroupLimit (plan-pinned): partial per-partition
+    top-k BEFORE the sort materializes — the window-shaped
+    TakeOrdered.  Each level's filter keeps every true bottom-k row
+    (a source's k smallest hashes occupy at most k buckets), so the
+    two-level result provably equals the one-level window the oracle
+    runs.
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("source", "doc_id",
+                    F.md5(F.col("doc_id").cast("string")).alias("h"))
+    lvl1 = base.withColumn("bucket", F.substring(F.col("h"), 1, 1))
+    w1 = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+    cand = (lvl1.withColumn("r1", F.row_number().over(w1))
+            .where(F.col("r1") <= _BK_K))
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (cand.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= _BK_K)
+            .select("source", F.col("rank").cast("bigint").alias("rank"),
+                    "doc_id", "h"))
+
+
 def q_bpe_merges(spark, sf_dir):
     """Round-1 BPE merge statistics (Sennrich, Haddow & Birch 2016):
     the top-10 adjacent character pairs by corpus frequency — the
@@ -3311,4 +3355,5 @@ EXTRA_QUERIES = {
     "dedup_bloom": q_dedup_bloom,
     "curate_report": q_curate_report,
     "bpe_merges": q_bpe_merges,
+    "sample_bottomk": q_sample_bottomk,
 }

@@ -272,6 +272,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "bpe_merges": ([r"TakeOrderedAndProject", r"partial_count"],
                    [r"Join", r"CartesianProduct",
                     r"BatchEvalPython", r"LocalTableScan"]),
+    # Per-source bottom-k sample (EXTRA_QUERIES): both rank-limited
+    # windows run as WindowGroupLimit (partial top-k before the sort).
+    "sample_bottomk": ([r"WindowGroupLimit"],
+                       [r"Join", r"CartesianProduct",
+                        r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

@@ -3007,3 +3007,79 @@ def test_bpe_merges_plan(spark):
     assert "TakeOrderedAndProject" in final
     assert "partial_count" in final
     assert "BatchEvalPython" not in final
+
+
+def test_sample_bottomk_vs_duckdb(spark):
+    """Twenty-third EXTRA-lane operator (bottom-k sample): cell-exact
+    vs the ONE-level-window DuckDB oracle (proving the two-level
+    bucket scan loses nothing); exactly min(5, source size) rows per
+    source with hashes ascending by rank."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import q_sample_bottomk
+
+    got = q_sample_bottomk(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["sample_bottomk"]).df()
+    _canon_frames(got, exp)
+    per = got.sort_values(["source", "rank"]).groupby("source")
+    assert (per["rank"].apply(lambda s: list(s)
+                              == list(range(1, len(s) + 1)))).all()
+    assert (per["h"].apply(lambda s: s.is_monotonic_increasing)).all()
+    assert (per.size() <= 5).all()
+
+
+def test_sample_bottomk_planted(spark, tmp_path):
+    """A pure-Python bottom-k over a skewed corpus (one source with
+    400 docs, one with 3) must match exactly — including the
+    short-source case (all 3 docs kept) — and a rerun returns the
+    identical sample (the reproducibility contract)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_sample_bottomk
+
+    rows = [(i, "w " * 5, "big") for i in range(400)] \
+        + [(1000 + i, "w " * 5, "tiny") for i in range(3)]
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    def ref(src_ids):
+        keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                       for i in src_ids)
+        return [(r + 1, i, h) for r, (h, i) in enumerate(keyed[:5])]
+
+    expect = {"big": ref(range(400)), "tiny": ref(range(1000, 1003))}
+    for _ in range(2):                       # identical on rerun
+        got = {}
+        for r in q_sample_bottomk(spark, str(tmp_path)).collect():
+            got.setdefault(r.source, []).append(
+                (r.rank, r.doc_id, r.h))
+        for s in got:
+            got[s].sort()
+        assert got == expect
+    assert len(expect["big"]) == 5 and len(expect["tiny"]) == 3
+
+
+def test_sample_bottomk_plan(spark):
+    """Both rank-limited windows execute as WindowGroupLimit (partial
+    per-partition top-k BEFORE the sort materializes — the
+    window-shaped TakeOrdered); nothing cartesian, nothing Python."""
+    from dragnet_spark.queries import q_sample_bottomk
+
+    df = q_sample_bottomk(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final
+    assert "CartesianProduct" not in final
+    assert "BatchEvalPython" not in final
