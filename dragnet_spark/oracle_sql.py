@@ -1882,3 +1882,63 @@ WITH h AS (
 SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, h
 FROM r WHERE rank <= 5
 """
+
+
+# Code-switch detection (EXTRA lane): same marker sets and argmax
+# order as the Spark side (imported — matched by construction), two
+# nested list_transforms, all-integer.
+from .queries import LANG_MARKERS as _LSM, _LANG_ORDER as _LSO  # noqa: E402
+
+
+def _ls_sql() -> str:
+    def inlist(lg):
+        return ", ".join(f"'{t}'" for t in _LSM[lg])
+
+    def score_struct(arr):
+        return "{" + ", ".join(
+            f"'{lg}': len(list_filter({arr}, t -> t IN ({inlist(lg)})))"
+            for lg in _LSO) + "}"
+
+    def pred(acc):
+        cases = []
+        for lg in _LSO[:-1]:
+            conds = " AND ".join(f"{acc}.{lg} >= {acc}.{o}"
+                                 for o in _LSO if o != lg)
+            cases.append(f"WHEN {conds} THEN '{lg}'")
+        return "CASE " + " ".join(cases) + f" ELSE '{_LSO[-1]}' END"
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         CAST((len(string_split(text, ' ')) + 9) // 10 AS INT) AS nw
+  FROM documents
+), sc AS (
+  SELECT doc_id, nw,
+         list_transform(
+           list_transform(generate_series(0, nw - 1),
+                          k -> ts[k * 10 + 1 : k * 10 + 10]),
+           w -> {score_struct('w')}) AS sc,
+         {score_struct('ts')} AS doc_sc
+  FROM base
+), pr AS (
+  SELECT doc_id, nw,
+         list_transform(sc, s -> {pred('s')}) AS preds,
+         {pred('doc_sc')} AS doc_lang
+  FROM sc
+), fl AS (
+  SELECT doc_id, nw, doc_lang,
+         len(list_filter(generate_series(1, nw - 1),
+                         i -> preds[i] <> preds[i + 1])) AS nsw
+  FROM pr
+)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+       CAST(nsw AS BIGINT) AS n_switches,
+       CASE WHEN nw <= 1 THEN 0.0
+            ELSE ROUND(CAST(nsw AS DOUBLE) / CAST(nw - 1 AS DOUBLE), 6)
+       END AS switch_frac,
+       doc_lang
+FROM fl
+"""
+
+
+EXTRA_ORACLE_SQL["lang_switches"] = _ls_sql()

@@ -2430,6 +2430,84 @@ def q_span_corruption(spark, sf_dir):
          .alias("targets_len"))
 
 
+# Code-switch detection window (tokens).
+_LS_W = 10
+
+
+def q_lang_switches(spark, sf_dir):
+    """Code-switching / language-consistency detection — multilingual
+    curation drops or splits documents whose language flips
+    mid-document (mixed-language pages defeat both the doc-level
+    language filter and downstream tokenization): the document is cut
+    into fixed _LS_W-token windows, each window is classified with
+    the SAME marker-argmax rule as the doc-level language ID
+    (first language in _LANG_ORDER whose marker score >= every
+    other's — shared semantics, so a 1-window doc always agrees with
+    q_lang_id), and adjacent windows with different predictions count
+    as switches.  Output: (doc_id, n_windows, n_switches,
+    switch_frac [switches / (n_windows - 1), 0 for 1-window docs],
+    doc_lang).
+
+    Determinism: all integer counts and string comparisons; the one
+    division is exact-operand, round(6).
+
+    Scale shape: ZERO shuffles — two nested per-row transforms (the
+    window score structs computed ONCE per window in their own
+    transform, the argmax chain over cheap field references in a
+    second — the multiply-referenced-tree rule).
+
+    Gate note: ships in EXTRA_QUERIES (driver cap fully allocated);
+    dual-engine checked via EXTRA_ORACLE_SQL + the random-corpus
+    fuzz."""
+    d = _t(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    n = F.size(ts)
+    nw = F.floor((n + F.lit(_LS_W - 1)) / F.lit(_LS_W)).cast("int")
+
+    def member(lg):
+        # closure factory: a two-parameter lambda would receive the
+        # element INDEX as the second argument (the F.filter trap).
+        return lambda t: t.isin(*LANG_MARKERS[lg])
+
+    def scores_of(arr):
+        return F.struct(*[F.size(F.filter(arr, member(lg))).alias(lg)
+                          for lg in _LANG_ORDER])
+
+    def pred_of(s):
+        out = F.lit(_LANG_ORDER[-1])
+        for lg in reversed(_LANG_ORDER[:-1]):
+            cond = None
+            for other in _LANG_ORDER:
+                if other == lg:
+                    continue
+                c = s[lg] >= s[other]
+                cond = c if cond is None else (cond & c)
+            out = F.when(cond, lg).otherwise(out)
+        return out
+
+    wins = F.transform(F.sequence(F.lit(0), nw - 1),
+                       lambda k: F.slice(ts, k * _LS_W + 1, _LS_W))
+    b1 = d.select("doc_id", nw.alias("nw"),
+                  F.transform(wins, scores_of).alias("sc"),
+                  scores_of(ts).alias("doc_sc"))
+    b2 = b1.select("doc_id", "nw",
+                   F.transform(F.col("sc"), pred_of).alias("preds"),
+                   pred_of(F.col("doc_sc")).alias("doc_lang"))
+    flips = F.zip_with(
+        F.slice(F.col("preds"), 1, F.col("nw") - 1),
+        F.slice(F.col("preds"), 2, F.col("nw") - 1),
+        lambda a, b: a != b)
+    b3 = b2.select("doc_id", "nw", "doc_lang",
+                   F.size(F.filter(flips, lambda x: x)).alias("nsw"))
+    frac = F.when(F.col("nw") <= 1, F.lit(0.0)).otherwise(
+        F.round(F.col("nsw").cast("double")
+                / (F.col("nw") - 1).cast("double"), 6))
+    return b3.select("doc_id", F.col("nw").cast("bigint")
+                     .alias("n_windows"),
+                     F.col("nsw").cast("bigint").alias("n_switches"),
+                     frac.alias("switch_frac"), "doc_lang")
+
+
 # Bottom-k sample size per source.
 _BK_K = 5
 
@@ -3356,4 +3434,5 @@ EXTRA_QUERIES = {
     "curate_report": q_curate_report,
     "bpe_merges": q_bpe_merges,
     "sample_bottomk": q_sample_bottomk,
+    "lang_switches": q_lang_switches,
 }

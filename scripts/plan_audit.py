@@ -277,6 +277,10 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     "sample_bottomk": ([r"WindowGroupLimit"],
                        [r"Join", r"CartesianProduct",
                         r"BatchEvalPython", r"LocalTableScan"]),
+    # Code-switch detection (EXTRA_QUERIES): nested per-row
+    # transforms, zero shuffles/joins.
+    "lang_switches": ([], [r"Exchange", r"Join",
+                           r"BatchEvalPython", r"LocalTableScan"]),
 }
 
 

@@ -3083,3 +3083,76 @@ def test_sample_bottomk_plan(spark):
     assert "WindowGroupLimit" in final
     assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_lang_switches_vs_duckdb(spark):
+    """Twenty-fourth EXTRA-lane operator (code-switch detection):
+    cell-exact vs the DuckDB oracle; switches bounded by
+    n_windows - 1, single-window docs report frac 0, predictions stay
+    in the language set."""
+    import duckdb
+    from dragnet_spark.oracle_sql import EXTRA_ORACLE_SQL
+    from dragnet_spark.queries import _LANG_ORDER, q_lang_switches
+
+    got = q_lang_switches(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.sql(EXTRA_ORACLE_SQL["lang_switches"]).df()
+    _canon_frames(got, exp)
+    assert (got.n_switches <= (got.n_windows - 1).clip(lower=0)).all()
+    assert (got[got.n_windows == 1].switch_frac == 0.0).all()
+    assert got.doc_lang.isin(_LANG_ORDER).all()
+
+
+def test_lang_switches_planted(spark, tmp_path):
+    """Engineered documents pin the semantics: a pure-English doc
+    never switches; a doc alternating English and German marker
+    windows switches at EVERY boundary (frac exactly 1); a
+    single-window doc reports zero; and the window classifier agrees
+    with the doc-level argmax on homogeneous docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dragnet_spark.queries import q_lang_switches
+
+    en = "the a table row the a table row the a"       # 10 en tokens
+    de = "hash join key big hash join key big hash join"
+    texts = {
+        0: " ".join([en] * 4),               # 4 windows, 0 switches
+        1: " ".join([en, de, en, de]),       # alternating: 3 switches
+        2: "the a table",                    # 1 window
+        3: " ".join([en, en, de]),           # one switch
+    }
+    pq.write_table(pa.Table.from_pydict({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["src0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    got = {int(r.doc_id): r for r in
+           q_lang_switches(spark, str(tmp_path)).collect()}
+    assert (got[0].n_windows, got[0].n_switches) == (4, 0)
+    assert got[0].switch_frac == 0.0 and got[0].doc_lang == "en"
+    assert (got[1].n_windows, got[1].n_switches) == (4, 3)
+    assert got[1].switch_frac == 1.0
+    assert (got[2].n_windows, got[2].n_switches) == (1, 0)
+    assert got[2].switch_frac == 0.0 and got[2].doc_lang == "en"
+    assert (got[3].n_windows, got[3].n_switches) == (3, 1)
+    assert got[3].switch_frac == 0.5
+
+
+def test_lang_switches_plan(spark):
+    """Zero shuffles — two nested per-row transforms (window score
+    structs once, argmax over field references)."""
+    from dragnet_spark.queries import q_lang_switches
+
+    df = q_lang_switches(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "Join" not in final
+    assert "BatchEvalPython" not in final
